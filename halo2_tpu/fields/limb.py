@@ -1,0 +1,295 @@
+"""Vectorized multi-limb Montgomery field arithmetic in JAX.
+
+Replaces the reference's external ``halo2curves`` scalar layer (SURVEY.md §2.12)
+with a TPU-native design: field elements are 16 little-endian 16-bit limbs in
+``uint32`` with the **limb axis leading** — an array of n elements has shape
+``(16, n)`` so the batch occupies the TPU lane dimension and every operation
+below is a fully vectorized VPU op over the batch.  Limb loops are unrolled at
+trace time (16 or 32 static iterations) and fused by XLA.
+
+All values on device are kept in Montgomery form (v·R mod p, R = 2^256), like
+the reference.  16x16-bit limb products fit exactly in uint32; column sums are
+accumulated with lo/hi splitting so no intermediate exceeds 32 bits.
+
+Every function takes the :class:`~halo2_tpu.fields.spec.FieldSpec` first;
+specs are hashable dataclasses, safe to close over in jitted code.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spec import NLIMBS, LIMB_BITS, LIMB_MASK, FieldSpec, int_to_limbs, limbs_to_int
+
+U32 = jnp.uint32
+_MASK = np.uint32(LIMB_MASK)
+
+
+def _u(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=U32)
+
+
+# ---------------------------------------------------------------------------
+# conversions
+# ---------------------------------------------------------------------------
+
+def zeros(shape=()) -> jnp.ndarray:
+    return jnp.zeros((NLIMBS,) + tuple(shape), dtype=U32)
+
+
+def from_int(spec: FieldSpec, v: int) -> jnp.ndarray:
+    """Canonical Python int -> Montgomery-form limb vector (16,)."""
+    return jnp.asarray(int_to_limbs(spec.to_mont(v)))
+
+
+def from_ints(spec: FieldSpec, vs) -> jnp.ndarray:
+    """Iterable of canonical ints -> Montgomery limb array (16, n)."""
+    out = np.empty((NLIMBS, len(vs)), dtype=np.uint32)
+    for j, v in enumerate(vs):
+        out[:, j] = int_to_limbs(spec.to_mont(v))
+    return jnp.asarray(out)
+
+
+def to_ints(spec: FieldSpec, a) -> list:
+    """Montgomery limb array (16, ...) -> list of canonical ints (flattened)."""
+    arr = np.asarray(a).reshape(NLIMBS, -1)
+    return [spec.from_mont(limbs_to_int(arr[:, j])) for j in range(arr.shape[1])]
+
+
+def to_int(spec: FieldSpec, a) -> int:
+    (v,) = to_ints(spec, a)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# carry / borrow chains (unrolled over the static limb axis)
+# ---------------------------------------------------------------------------
+
+def _carry_propagate(digits):
+    """Normalize a list of uint32 digits (< 2^32) to 16-bit digits.
+
+    Returns (list of len(digits) normalized digits, final carry).
+    """
+    out = []
+    carry = None
+    for d in digits:
+        v = d if carry is None else d + carry
+        out.append(v & _MASK)
+        carry = v >> LIMB_BITS
+    return out, carry
+
+
+def _sub_borrow(a_digits, b_digits):
+    """a - b over 16-bit digit lists. Returns (digits, borrow_out in {0,1})."""
+    out = []
+    borrow = _u(0)
+    base = np.uint32(1 << LIMB_BITS)
+    for ai, bi in zip(a_digits, b_digits):
+        t = ai + base - bi - borrow  # in [1, 2^17)
+        out.append(t & _MASK)
+        borrow = _u(1) - (t >> LIMB_BITS)
+    return out, borrow
+
+
+def _add_digits(a_digits, b_digits):
+    """a + b over 16-bit digit lists, dropping the final carry."""
+    out, _ = _carry_propagate([ai + bi for ai, bi in zip(a_digits, b_digits)])
+    return out
+
+
+def _split(a):
+    return [a[i] for i in range(NLIMBS)]
+
+
+def _stack(digits):
+    return jnp.stack(digits, axis=0)
+
+
+def _cond_sub_p(spec: FieldSpec, digits):
+    """Reduce a 16-digit value in [0, 2p) to [0, p) branch-free."""
+    p_digits = [np.uint32(x) for x in spec.p_limbs]
+    diff, borrow = _sub_borrow(digits, p_digits)
+    # borrow == 0  =>  value >= p  =>  take the difference
+    keep = borrow.astype(jnp.bool_)
+    return [jnp.where(keep, d, s) for d, s in zip(digits, diff)]
+
+
+# ---------------------------------------------------------------------------
+# add / sub / neg
+# ---------------------------------------------------------------------------
+
+def fadd(spec: FieldSpec, a, b):
+    s, _ = _carry_propagate([x + y for x, y in zip(_split(a), _split(b))])
+    return _stack(_cond_sub_p(spec, s))
+
+
+def fsub(spec: FieldSpec, a, b):
+    d, borrow = _sub_borrow(_split(a), _split(b))
+    p_digits = [np.uint32(x) for x in spec.p_limbs]
+    dp = _add_digits(d, p_digits)
+    need_p = borrow.astype(jnp.bool_)
+    return _stack([jnp.where(need_p, x, y) for x, y in zip(dp, d)])
+
+
+def fneg(spec: FieldSpec, a):
+    d, _ = _sub_borrow([np.uint32(x) for x in spec.p_limbs], _split(a))
+    z = is_zero(a)
+    return _stack([jnp.where(z, jnp.zeros_like(x), x) for x in d])
+
+
+def fdbl(spec: FieldSpec, a):
+    return fadd(spec, a, a)
+
+
+def is_zero(a):
+    z = a[0] == 0
+    for i in range(1, NLIMBS):
+        z = z & (a[i] == 0)
+    return z
+
+
+def select(cond, a, b):
+    """Elementwise select between two limb arrays (cond broadcast over batch)."""
+    return jnp.where(cond[None, ...], a, b)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery multiplication
+# ---------------------------------------------------------------------------
+
+def fmul(spec: FieldSpec, a, b):
+    """Montgomery product: returns a*b/R mod p, inputs/outputs in [0, p)."""
+    # Schoolbook product into 32 lazily-carried columns.  Each 16x16 product is
+    # exact in uint32; we split into lo/hi halves so column accumulators stay
+    # far below 2^32 (<= 32 terms of < 2^16 each plus REDC contributions).
+    # Column sums are computed with 16 shifted adds over whole (31, ...) arrays
+    # (anti-diagonal accumulation) so the compiled graph stays small and dense.
+    prods = a[:, None] * b[None, :]  # (16, 16, ...)
+    lo = prods & _MASK
+    hi = prods >> LIMB_BITS
+    batch_pad = ((0, 0),) * (a.ndim - 1)
+    cols = None
+    for i in range(NLIMBS):
+        # lo[i, j] lands in column i+j; hi[i, j] in column i+j+1 (both < 32)
+        row = jnp.pad(lo[i], ((i, NLIMBS - i),) + batch_pad)  # (32, ...)
+        rowh = jnp.pad(hi[i], ((i + 1, NLIMBS - 1 - i),) + batch_pad)
+        contrib = row + rowh
+        cols = contrib if cols is None else cols + contrib
+    t = [cols[k] for k in range(2 * NLIMBS)]
+
+    # Word-by-word REDC with the same lazy-carry discipline.
+    n0 = np.uint32(spec.n0)
+    p_digits = [np.uint32(x) for x in spec.p_limbs]
+    for i in range(NLIMBS):
+        m = (t[i] * n0) & _MASK
+        # j = 0 cancels the low digit; push its carry up explicitly.
+        prod0 = m * p_digits[0]
+        low = t[i] + (prod0 & _MASK)
+        t[i + 1] = t[i + 1] + (low >> LIMB_BITS) + (prod0 >> LIMB_BITS)
+        for j in range(1, NLIMBS):
+            prod = m * p_digits[j]
+            t[i + j] = t[i + j] + (prod & _MASK)
+            t[i + j + 1] = t[i + j + 1] + (prod >> LIMB_BITS)
+
+    # The low 16 digits are == 0 mod 2^16 and their carries were pushed upward;
+    # the result lives in t[16..32).  It is < 2p < 2^255, so no carry escapes.
+    hi, _ = _carry_propagate(t[NLIMBS:])
+    return _stack(_cond_sub_p(spec, hi))
+
+
+def fsquare(spec: FieldSpec, a):
+    return fmul(spec, a, a)
+
+
+def to_mont(spec: FieldSpec, a):
+    """Canonical limbs -> Montgomery form (multiply by R^2)."""
+    r2 = jnp.asarray(spec.r2_limbs).reshape((NLIMBS,) + (1,) * (a.ndim - 1))
+    return fmul(spec, a, jnp.broadcast_to(r2, a.shape))
+
+def from_mont(spec: FieldSpec, a):
+    """Montgomery form -> canonical limbs (REDC with 1)."""
+    one = np.zeros((NLIMBS,), dtype=np.uint32)
+    one[0] = 1
+    o = jnp.asarray(one).reshape((NLIMBS,) + (1,) * (a.ndim - 1))
+    return fmul(spec, a, jnp.broadcast_to(o, a.shape))
+
+
+# ---------------------------------------------------------------------------
+# pow / inverse
+# ---------------------------------------------------------------------------
+
+def fpow_const(spec: FieldSpec, a, e: int):
+    """a^e for a static Python-int exponent.
+
+    Small exponents unroll at trace time; large ones (field inversions etc.)
+    run as a fori_loop over the exponent bits so the compiled graph stays at
+    two fmuls regardless of exponent size.
+    """
+    one = jnp.broadcast_to(
+        jnp.asarray(spec.r_limbs).reshape((NLIMBS,) + (1,) * (a.ndim - 1)), a.shape
+    )
+    if e == 0:
+        return one
+    nbits = e.bit_length()
+    if nbits <= 8:
+        acc = None
+        base = a
+        while e:
+            if e & 1:
+                acc = base if acc is None else fmul(spec, acc, base)
+            e >>= 1
+            if e:
+                base = fsquare(spec, base)
+        return acc
+
+    bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)], dtype=jnp.bool_)
+
+    def body(i, carry):
+        acc, base = carry
+        bit = bits[i]
+        acc = jnp.where(bit, fmul(spec, acc, base), acc)
+        base = fsquare(spec, base)
+        return acc, base
+
+    acc, _ = jax.lax.fori_loop(0, nbits, body, (one, a))
+    return acc
+
+
+def finv(spec: FieldSpec, a):
+    """Batched inverse via Fermat: a^(p-2).  Maps 0 -> 0 (like batch usage in
+    the reference where zero denominators are structurally excluded)."""
+    return fpow_const(spec, a, spec.p - 2)
+
+
+def batch_inv(spec: FieldSpec, a):
+    """Montgomery-trick batched inversion over axis 1 of a (16, n) array.
+
+    Cost: two associative scans of field muls + one Fermat inversion of the
+    total product, instead of n Fermat inversions.  Requires all entries
+    nonzero (reference batch_invert has the same contract, poly.rs:180-209).
+    """
+    n = a.shape[1]
+    if n == 1:
+        return finv(spec, a)
+    # scans over the batch axis: move batch to axis 0 for associative_scan
+    at = jnp.moveaxis(a, 1, 0)  # (n, 16, ...)
+    prefix = jax.lax.associative_scan(lambda x, y: _scan_mul(spec, x, y), at)
+    suffix = jax.lax.associative_scan(lambda x, y: _scan_mul(spec, x, y), at, reverse=True)
+    total = prefix[-1]
+    total_inv = finv(spec, total)  # (16, ...)
+    one = jnp.asarray(spec.r_limbs).reshape((NLIMBS,) + (1,) * (a.ndim - 2))
+    # inv_i = prefix_{i-1} * suffix_{i+1} * total_inv
+    pre = jnp.concatenate([jnp.broadcast_to(one, (1,) + prefix.shape[1:]), prefix[:-1]], axis=0)
+    suf = jnp.concatenate([suffix[1:], jnp.broadcast_to(one, (1,) + suffix.shape[1:])], axis=0)
+    part = jax.vmap(lambda x, y: fmul(spec, x, y))(pre, suf)
+    out = jax.vmap(lambda x: fmul(spec, x, total_inv))(part)
+    return jnp.moveaxis(out, 0, 1)
+
+
+def _scan_mul(spec: FieldSpec, x, y):
+    """fmul with the limb axis at position 1 (batch leading), for scans."""
+    return jnp.moveaxis(
+        fmul(spec, jnp.moveaxis(x, 0, 1), jnp.moveaxis(y, 0, 1)), 1, 0
+    )

@@ -1,0 +1,322 @@
+"""MockProver: in-memory constraint checker (no commitments).
+
+Rebuild of dev.rs (SURVEY.md §2.26-2.27): an Assignment backend that records
+CellValues, then checks every gate/lookup/permutation constraint row by row,
+returning structured VerifyFailures.  Challenges are a deterministic blake2b
+hash chain like the reference (dev.rs:560-569).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+from typing import Dict, List, Optional, Tuple
+
+from ..circuit.layouter import Assignment
+from ..circuit.value import Value, to_assigned
+from ..fields.spec import FieldSpec
+from ..plonk.circuit import (
+    ADVICE,
+    FIXED,
+    INSTANCE,
+    Column,
+    ConstraintSystem,
+)
+from ..plonk.error import NotEnoughRowsAvailable
+from ..plonk.keygen import convert_selectors
+from ..poly.polynomial import Rotation
+
+UNASSIGNED = "unassigned"
+POISON = "poison"
+
+
+@dataclasses.dataclass
+class VerifyFailure:
+    kind: str  # CellNotAssigned | ConstraintNotSatisfied | ConstraintPoisoned | Lookup | Permutation
+    gate: Optional[str] = None
+    constraint: Optional[str] = None
+    row: Optional[int] = None
+    region: Optional[str] = None
+    lookup_index: Optional[int] = None
+    column: Optional[object] = None
+
+    def __str__(self):
+        parts = [self.kind]
+        if self.gate:
+            parts.append(f"gate={self.gate!r}")
+        if self.constraint:
+            parts.append(f"constraint={self.constraint!r}")
+        if self.region:
+            parts.append(f"region={self.region!r}")
+        if self.row is not None:
+            parts.append(f"row={self.row}")
+        if self.lookup_index is not None:
+            parts.append(f"lookup={self.lookup_index}")
+        return " ".join(parts)
+
+
+@dataclasses.dataclass
+class _Region:
+    name: str
+    rows: set
+    enabled_selectors: Dict[object, List[int]]
+    cells: set  # (column, row)
+
+
+class MockProver(Assignment):
+    def __init__(self, spec: FieldSpec, k: int, cs: ConstraintSystem):
+        self.spec = spec
+        self.k = k
+        self.n = 1 << k
+        self.cs = cs
+        self.usable_rows = self.n - (cs.blinding_factors() + 1)
+        self.fixed = [
+            [UNASSIGNED] * self.n for _ in range(cs.num_fixed_columns)
+        ]
+        self.advice = [
+            ([POISON] * self.usable_rows + [UNASSIGNED] * (self.n - self.usable_rows))
+            for _ in range(cs.num_advice_columns)
+        ]
+        # usable advice rows start Unassigned; poison only unusable rows
+        for col in self.advice:
+            for r in range(self.usable_rows):
+                col[r] = UNASSIGNED
+            for r in range(self.usable_rows, self.n):
+                col[r] = POISON
+        self.instance: List[List[int]] = []
+        self.selectors = [[False] * self.n for _ in range(cs.num_selectors)]
+        self.challenges = self._mock_challenges(cs.num_challenges)
+        self.regions: List[_Region] = []
+        self._current_region: Optional[_Region] = None
+        self.copies: List[Tuple[Column, int, Column, int]] = []
+
+    def _mock_challenges(self, num):
+        out = []
+        state = b"Halo2-MockProver"
+        for i in range(num):
+            state = hashlib.blake2b(state, digest_size=64).digest()
+            out.append(self.spec.from_bytes_wide(state))
+        return out
+
+    # -- classmethod run --------------------------------------------------
+    @classmethod
+    def run(cls, spec: FieldSpec, k: int, circuit, instances) -> "MockProver":
+        cs = ConstraintSystem()
+        config = type(circuit).configure(cs)
+        prover = cls(spec, k, cs)
+        if prover.n < cs.minimum_rows():
+            raise NotEnoughRowsAvailable(k)
+        if len(instances) != cs.num_instance_columns:
+            from ..plonk.error import InvalidInstances
+
+            raise InvalidInstances()
+        for col in instances:
+            if len(col) > prover.usable_rows:
+                from ..plonk.error import InstanceTooLarge
+
+                raise InstanceTooLarge()
+            prover.instance.append([v % spec.p for v in col])
+        circuit.floor_planner.synthesize(prover, circuit, config, list(cs.constants))
+        # convert selectors into fixed columns (mirrors dev.rs:588-596)
+        selector_values = convert_selectors(cs, prover.selectors)
+        for sv in selector_values:
+            prover.fixed.append([int(b) for b in sv])
+        return prover
+
+    # -- Assignment impl ---------------------------------------------------
+    def enter_region(self, name):
+        self._current_region = _Region(str(name), set(), {}, set())
+
+    def exit_region(self):
+        if self._current_region is not None:
+            self.regions.append(self._current_region)
+        self._current_region = None
+
+    def enable_selector(self, selector, row):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        if self._current_region is not None:
+            self._current_region.enabled_selectors.setdefault(selector, []).append(row)
+            self._current_region.rows.add(row)
+        self.selectors[selector.index][row] = True
+
+    def query_instance(self, column, row):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        col = self.instance[column.index]
+        return Value.known(col[row] if row < len(col) else 0)
+
+    def assign_advice(self, column, row, to):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        if self._current_region is not None:
+            self._current_region.rows.add(row)
+            self._current_region.cells.add((column, row))
+        v = to()
+        if not v.is_none():
+            self.advice[column.index][row] = to_assigned(v.value()).evaluate(self.spec.p)
+
+    def assign_fixed(self, column, row, to):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        if self._current_region is not None:
+            self._current_region.rows.add(row)
+            self._current_region.cells.add((column, row))
+        v = to()
+        if not v.is_none():
+            self.fixed[column.index][row] = to_assigned(v.value()).evaluate(self.spec.p)
+
+    def copy(self, left_column, left_row, right_column, right_row):
+        if left_row >= self.usable_rows or right_row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        self.copies.append((left_column, left_row, right_column, right_row))
+
+    def fill_from_row(self, column, from_row, to: Value):
+        if from_row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        v = to_assigned(to.value()).evaluate(self.spec.p) if not to.is_none() else 0
+        col = self.fixed[column.index]
+        for row in range(from_row, self.usable_rows):
+            col[row] = v
+
+    def get_challenge(self, challenge):
+        return Value.known(self.challenges[challenge.index])
+
+    # -- verification -------------------------------------------------------
+    def _cell(self, kind, index, row):
+        row %= self.n
+        if kind == FIXED:
+            v = self.fixed[index][row]
+            return 0 if v == UNASSIGNED else v
+        if kind == ADVICE:
+            return self.advice[index][row]
+        col = self.instance[index]
+        return col[row] if row < len(col) else 0
+
+    def _eval_expr(self, expr, row):
+        """Evaluate over CellValues; returns int or POISON."""
+        p = self.spec.p
+
+        def add_op(a, b):
+            if a == POISON or b == POISON:
+                return POISON
+            return (a + b) % p
+
+        def mul_op(a, b):
+            # dev.rs Value::mul: poison * known-zero = zero, so disabled
+            # (selector = 0) gates never report poison.
+            if a == POISON or b == POISON:
+                if a == 0 or b == 0:
+                    return 0
+                return POISON
+            return (a * b) % p
+
+        def cellval(kind):
+            def f(q):
+                v = self._cell(kind, q.column_index, row + q.rotation.i)
+                if v == UNASSIGNED:
+                    return 0
+                return v
+
+            return f
+
+        return expr.evaluate(
+            lambda c: c % p,
+            lambda s: (_ for _ in ()).throw(ValueError("unconverted selector")),
+            cellval(FIXED),
+            cellval(ADVICE),
+            cellval(INSTANCE),
+            lambda c: self.challenges[c.index],
+            lambda a: POISON if a == POISON else (-a) % p,
+            add_op,
+            mul_op,
+            lambda a, s: mul_op(a, s % p),
+        )
+
+    def verify(self) -> List[VerifyFailure]:
+        failures: List[VerifyFailure] = []
+        p = self.spec.p
+        cs = self.cs
+
+        # CellNotAssigned: for each region, every cell queried by an enabled
+        # gate at enabled selector offsets must be assigned.
+        for region in self.regions:
+            for gate in cs.gates:
+                for selector, rows in region.enabled_selectors.items():
+                    if selector not in gate.queried_selectors:
+                        continue
+                    for row in rows:
+                        for column, rotation in gate.queried_cells:
+                            if column.kind != ADVICE:
+                                continue
+                            cell_row = (row + rotation.i) % self.n
+                            if (column, cell_row) not in region.cells and self.advice[
+                                column.index
+                            ][cell_row] in (UNASSIGNED,):
+                                failures.append(
+                                    VerifyFailure(
+                                        "CellNotAssigned",
+                                        gate=gate.name,
+                                        region=region.name,
+                                        row=cell_row,
+                                        column=column,
+                                    )
+                                )
+
+        # gate constraints on every usable row
+        for gate in cs.gates:
+            for cname, poly in zip(gate.constraint_names, gate.polys):
+                for row in range(self.n):
+                    v = self._eval_expr(poly, row)
+                    if v == POISON:
+                        if row < self.usable_rows:
+                            failures.append(
+                                VerifyFailure(
+                                    "ConstraintPoisoned", gate=gate.name,
+                                    constraint=cname, row=row,
+                                )
+                            )
+                    elif v != 0 and row < self.usable_rows:
+                        failures.append(
+                            VerifyFailure(
+                                "ConstraintNotSatisfied", gate=gate.name,
+                                constraint=cname, row=row,
+                            )
+                        )
+
+        # lookups
+        for lk_idx, arg in enumerate(cs.lookups):
+            table = set()
+            for row in range(self.usable_rows):
+                entry = tuple(
+                    self._eval_expr(e, row) for e in arg.table_expressions
+                )
+                if POISON not in entry:
+                    table.add(entry)
+            for row in range(self.usable_rows):
+                inputs = tuple(
+                    self._eval_expr(e, row) for e in arg.input_expressions
+                )
+                if POISON in inputs:
+                    continue
+                if inputs not in table:
+                    failures.append(
+                        VerifyFailure("Lookup", lookup_index=lk_idx, row=row)
+                    )
+
+        # permutation copies
+        for left_col, left_row, right_col, right_row in self.copies:
+            lv = self._cell(left_col.kind, left_col.index, left_row)
+            rv = self._cell(right_col.kind, right_col.index, right_row)
+            if lv in (UNASSIGNED, POISON) or rv in (UNASSIGNED, POISON) or lv != rv:
+                failures.append(
+                    VerifyFailure("Permutation", row=left_row, column=left_col)
+                )
+
+        return failures
+
+    def assert_satisfied(self):
+        failures = self.verify()
+        if failures:
+            msg = "\n".join(str(f) for f in failures)
+            raise AssertionError(f"circuit is not satisfied:\n{msg}")

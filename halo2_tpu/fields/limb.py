@@ -44,18 +44,38 @@ def from_int(spec: FieldSpec, v: int) -> jnp.ndarray:
     return jnp.asarray(int_to_limbs(spec.to_mont(v)))
 
 
+def ints_to_limbs_np(vs) -> np.ndarray:
+    """Canonical ints -> (16, n) uint32 canonical limbs, via a single bytes
+    round-trip (C-speed; no per-limb Python loop)."""
+    buf = b"".join(v.to_bytes(32, "little") for v in vs)
+    arr = np.frombuffer(buf, dtype=np.uint16).reshape(len(vs), NLIMBS)
+    return np.ascontiguousarray(arr.T).astype(np.uint32)
+
+
+def limbs_np_to_ints(a) -> list:
+    """(16, n) canonical limbs -> list of canonical ints (bytes round-trip)."""
+    arr = np.ascontiguousarray(np.asarray(a).astype(np.uint16).T)  # (n, 16)
+    raw = arr.tobytes()
+    return [
+        int.from_bytes(raw[32 * j : 32 * (j + 1)], "little") for j in range(arr.shape[0])
+    ]
+
+
 def from_ints(spec: FieldSpec, vs) -> jnp.ndarray:
     """Iterable of canonical ints -> Montgomery limb array (16, n)."""
-    out = np.empty((NLIMBS, len(vs)), dtype=np.uint32)
-    for j, v in enumerate(vs):
-        out[:, j] = int_to_limbs(spec.to_mont(v))
-    return jnp.asarray(out)
+    return jnp.asarray(ints_to_limbs_np([spec.to_mont(v) for v in vs]))
 
 
 def to_ints(spec: FieldSpec, a) -> list:
     """Montgomery limb array (16, ...) -> list of canonical ints (flattened)."""
     arr = np.asarray(a).reshape(NLIMBS, -1)
-    return [spec.from_mont(limbs_to_int(arr[:, j])) for j in range(arr.shape[1])]
+    rinv = pow(spec.r, -1, spec.p)
+    return [v * rinv % spec.p for v in limbs_np_to_ints(arr)]
+
+
+def from_canonical_ints(spec: FieldSpec, vs) -> jnp.ndarray:
+    """Canonical ints -> Montgomery limbs via a single device to_mont fmul."""
+    return to_mont(spec, jnp.asarray(ints_to_limbs_np(vs)))
 
 
 def to_int(spec: FieldSpec, a) -> int:

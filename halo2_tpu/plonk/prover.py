@@ -1,0 +1,583 @@
+"""create_proof — the prover orchestrator.
+
+Rebuild of plonk/prover.rs (SURVEY.md §2.22; full call stack §3.2).  The
+transcript interaction order below IS the proof format and mirrors the
+reference exactly.  Device work: witness materialization, MSM commitments,
+NTTs, grand-product scans (jax.lax.associative_scan replacing the reference's
+serial running products, lookup/prover.rs:237-248, permutation/prover.rs:
+151-166), quotient evaluation.  Host work: transcript hashing, challenge
+derivation, lookup multiset matching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..circuit.layouter import Assignment
+from ..circuit.value import Value, to_assigned
+from ..curves.point import to_affine_ints
+from ..fields import limb
+from ..fields.spec import NLIMBS, FieldSpec
+from ..ops import arith, ntt as ntt_ops
+from ..plonk.error import InstanceTooLarge, NotEnoughRowsAvailable
+from ..poly.domain import EvaluationDomain
+from ..poly.polynomial import COEFF, LAGRANGE, Poly, Rotation
+from .circuit import ConstraintSystem
+from .evaluation import evaluate_on_lagrange
+from .keygen import ProvingKey, batch_invert_assigned
+
+
+# ---------------------------------------------------------------------------
+# witness collection (prover.rs:150-280)
+# ---------------------------------------------------------------------------
+
+
+class WitnessCollection(Assignment):
+    def __init__(self, k, cs: ConstraintSystem, current_phase, instances, challenges, usable_rows):
+        self.k = k
+        self.cs = cs
+        self.current_phase = current_phase
+        self.advice = [dict() for _ in range(cs.num_advice_columns)]
+        self.instances = instances  # list of lists of ints
+        self.challenges = challenges  # dict index -> int
+        self.usable_rows = usable_rows
+
+    def query_instance(self, column, row):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        col = self.instances[column.index]
+        return Value.known(col[row]) if row < len(col) else Value.known(0)
+
+    def assign_advice(self, column, row, to):
+        # ignore assignments for columns in a different phase
+        if self.cs.advice_column_phase[column.index] != self.current_phase:
+            return
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        v = to()
+        if not v.is_none():
+            self.advice[column.index][row] = to_assigned(v.value())
+
+    def assign_fixed(self, column, row, to):
+        pass
+
+    def copy(self, *args):
+        pass
+
+    def fill_from_row(self, *args):
+        pass
+
+    def enable_selector(self, selector, row):
+        pass
+
+    def get_challenge(self, challenge):
+        if challenge.index in self.challenges:
+            return Value.known(self.challenges[challenge.index])
+        return Value.unknown()
+
+
+# ---------------------------------------------------------------------------
+# helper containers
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PermutationCommittedSet:
+    product_poly: Poly  # coeff
+    product_coset: jnp.ndarray  # extended values
+    product_blind: int
+
+
+@dataclasses.dataclass
+class PermutationCommitted:
+    sets: List[PermutationCommittedSet]
+
+
+@dataclasses.dataclass
+class LookupCommitted:
+    permuted_input_poly: Poly
+    permuted_input_blind: int
+    permuted_table_poly: Poly
+    permuted_table_blind: int
+    product_poly: Poly
+    product_blind: int
+
+
+@dataclasses.dataclass
+class ProverQuery:
+    point: int  # canonical host scalar
+    poly: Poly  # coeff basis
+    blind: int = 0
+
+
+# ---------------------------------------------------------------------------
+# device helpers
+# ---------------------------------------------------------------------------
+
+
+def _prefix_product_with_start(spec: FieldSpec, mv: jnp.ndarray, start: jnp.ndarray):
+    """z[0] = start, z[i] = start * prod_{r<i} mv[r]  (grand-product scan)."""
+    t = jnp.moveaxis(mv, 1, 0)
+    scan = jax.lax.associative_scan(
+        lambda a, b: jnp.moveaxis(
+            limb.fmul(spec, jnp.moveaxis(a, 0, 1), jnp.moveaxis(b, 0, 1)), 1, 0
+        ),
+        t,
+    )
+    prefix = jnp.moveaxis(scan, 0, 1)  # inclusive products
+    one = limb.from_int(spec, 1).reshape(NLIMBS, 1)
+    shifted = jnp.concatenate([one, prefix[:, :-1]], axis=1)
+    startb = jnp.broadcast_to(start.reshape(NLIMBS, 1), shifted.shape)
+    return limb.fmul(spec, shifted, startb)
+
+
+def _set_rows(values: jnp.ndarray, start_row: int, replacement: jnp.ndarray):
+    """Replace values[:, start_row:] with replacement columns."""
+    return jnp.concatenate([values[:, :start_row], replacement], axis=1)
+
+
+def _write_commitment(params, transcript, values_lagrange: jnp.ndarray):
+    pt = params.commit_lagrange(Poly(values_lagrange, LAGRANGE))
+    affine = to_affine_ints(params.curve, pt)[0]
+    transcript.write_point(affine)
+    return affine
+
+
+# ---------------------------------------------------------------------------
+# permutation commit (permutation/prover.rs:44-191)
+# ---------------------------------------------------------------------------
+
+
+def _permutation_commit(
+    params, pk: ProvingKey, advice_values, fixed_values, instance_values,
+    beta: int, gamma: int, rng, transcript,
+) -> PermutationCommitted:
+    domain = pk.vk.domain
+    spec = domain.spec
+    cs = pk.vk.cs
+    n = domain.n
+    p = spec.p
+    cs_degree = cs.degree()
+    assert cs_degree >= 3
+    chunk_len = cs_degree - 2
+    bf = cs.blinding_factors()
+    columns = cs.permutation.columns
+
+    omega_pows = domain._omega_pows_full  # (16, n) table of omega^i
+
+    def col_values(column):
+        return {"advice": advice_values, "fixed": fixed_values, "instance": instance_values}[
+            column.kind
+        ][column.index]
+
+    gamma_b = jnp.broadcast_to(
+        limb.from_int(spec, gamma).reshape(NLIMBS, 1), (NLIMBS, n)
+    )
+    beta_b = jnp.broadcast_to(limb.from_int(spec, beta).reshape(NLIMBS, 1), (NLIMBS, n))
+
+    sets = []
+    last_z = limb.from_int(spec, 1)
+    col_counter = 0
+    for chunk_start in range(0, len(columns), chunk_len):
+        cols = columns[chunk_start : chunk_start + chunk_len]
+        sigmas = pk.permutation.permutations[chunk_start : chunk_start + chunk_len]
+
+        mv = None  # denominator: prod (value + beta*sigma + gamma)
+        for column, sigma in zip(cols, sigmas):
+            vals = col_values(column)
+            term = limb.fadd(
+                spec,
+                limb.fadd(spec, vals, limb.fmul(spec, beta_b, sigma.values)),
+                gamma_b,
+            )
+            mv = term if mv is None else limb.fmul(spec, mv, term)
+        mv = limb.finv(spec, mv)
+        # numerator: prod (value + delta^j * beta * omega^i + gamma)
+        for column in cols:
+            vals = col_values(column)
+            scalar = pow(spec.delta, col_counter, p) * beta % p
+            deltaomega = limb.fmul(
+                spec,
+                omega_pows,
+                jnp.broadcast_to(
+                    limb.from_int(spec, scalar).reshape(NLIMBS, 1), (NLIMBS, n)
+                ),
+            )
+            term = limb.fadd(spec, limb.fadd(spec, vals, deltaomega), gamma_b)
+            mv = limb.fmul(spec, mv, term)
+            col_counter += 1
+
+        z = _prefix_product_with_start(spec, mv, last_z)
+        # blinding rows
+        blinds = limb.from_ints(spec, [rng() for _ in range(bf)])
+        z = _set_rows(z, n - bf, blinds)
+        last_z = z[:, n - (bf + 1)]
+
+        _ = rng()  # commitment blind (unused by KZG but keeps the rng stream)
+        _write_commitment(params, transcript, z)
+        zc = domain.lagrange_to_coeff(Poly(z, LAGRANGE))
+        coset = domain.coeff_to_extended(zc)
+        sets.append(PermutationCommittedSet(zc, coset.values, 0))
+    return PermutationCommitted(sets)
+
+
+# ---------------------------------------------------------------------------
+# lookup commit (lookup/prover.rs:64-305, permute at :391-475)
+# ---------------------------------------------------------------------------
+
+
+def _permute_expression_pair(pk, rng, input_vals: List[int], table_vals: List[int], n, bf):
+    """Host multiset matching — mirrors lookup/prover.rs:391-475 exactly."""
+    usable = n - (bf + 1)
+    permuted_input = sorted(input_vals[:usable])
+    leftover: Dict[int, int] = {}
+    for v in table_vals[:usable]:
+        leftover[v] = leftover.get(v, 0) + 1
+    permuted_table = [0] * usable
+    repeated_rows = []
+    for row, v in enumerate(permuted_input):
+        if row == 0 or v != permuted_input[row - 1]:
+            permuted_table[row] = v
+            if leftover.get(v, 0) > 0:
+                leftover[v] -= 1
+                if leftover[v] == 0:
+                    del leftover[v]
+            else:
+                from ..plonk.error import ConstraintSystemFailure
+
+                raise ConstraintSystemFailure("lookup input not in table")
+        else:
+            repeated_rows.append(row)
+    for v in sorted(leftover.keys()):
+        for _ in range(leftover[v]):
+            permuted_table[repeated_rows.pop()] = v
+    assert not repeated_rows
+    permuted_input.extend(rng() for _ in range(bf + 1))
+    permuted_table.extend(rng() for _ in range(bf + 1))
+    return permuted_input, permuted_table
+
+
+def _lookup_commit_permuted(
+    arg, params, pk, theta_b, advice_values, fixed_values, instance_values,
+    challenges_dev, rng, transcript,
+):
+    domain = pk.vk.domain
+    spec = domain.spec
+    n = domain.n
+    bf = pk.vk.cs.blinding_factors()
+
+    def compress(exprs):
+        acc = None
+        for e in exprs:
+            ev = evaluate_on_lagrange(
+                spec, e, n, fixed_values, advice_values, instance_values, challenges_dev
+            )
+            acc = ev if acc is None else limb.fadd(
+                spec, limb.fmul(spec, acc, jnp.broadcast_to(theta_b.reshape(NLIMBS, 1), ev.shape)), ev
+            )
+        return acc
+
+    comp_input = compress(arg.input_expressions)
+    comp_table = compress(arg.table_expressions)
+    input_ints = limb.to_ints(spec, comp_input)
+    table_ints = limb.to_ints(spec, comp_table)
+    pi, pt = _permute_expression_pair(pk, rng, input_ints, table_ints, n, bf)
+    pi_dev = limb.from_ints(spec, pi)
+    pt_dev = limb.from_ints(spec, pt)
+
+    _ = rng()  # input blind
+    _write_commitment(params, transcript, pi_dev)
+    _ = rng()  # table blind  (order: commit_values samples blind before commit)
+    return {
+        "comp_input": comp_input,
+        "comp_table": comp_table,
+        "perm_input": pi_dev,
+        "perm_table": pt_dev,
+    }
+
+
+def _lookup_write_permuted_table(params, transcript, permuted):
+    _write_commitment(params, transcript, permuted["perm_table"])
+
+
+def _lookup_commit_product(
+    permuted, params, pk, beta: int, gamma: int, rng, transcript
+) -> LookupCommitted:
+    domain = pk.vk.domain
+    spec = domain.spec
+    n = domain.n
+    bf = pk.vk.cs.blinding_factors()
+    beta_b = jnp.broadcast_to(limb.from_int(spec, beta).reshape(NLIMBS, 1), (NLIMBS, n))
+    gamma_b = jnp.broadcast_to(limb.from_int(spec, gamma).reshape(NLIMBS, 1), (NLIMBS, n))
+
+    denom = limb.fmul(
+        spec,
+        limb.fadd(spec, beta_b, permuted["perm_input"]),
+        limb.fadd(spec, gamma_b, permuted["perm_table"]),
+    )
+    prod = limb.finv(spec, denom)
+    prod = limb.fmul(spec, prod, limb.fadd(spec, permuted["comp_input"], beta_b))
+    prod = limb.fmul(spec, prod, limb.fadd(spec, permuted["comp_table"], gamma_b))
+
+    z = _prefix_product_with_start(spec, prod, limb.from_int(spec, 1))
+    blinds = limb.from_ints(spec, [rng() for _ in range(bf)])
+    z = _set_rows(z, n - bf, blinds)
+
+    _ = rng()  # product blind
+    _write_commitment(params, transcript, z)
+
+    return LookupCommitted(
+        permuted_input_poly=domain.lagrange_to_coeff(Poly(permuted["perm_input"], LAGRANGE)),
+        permuted_input_blind=0,
+        permuted_table_poly=domain.lagrange_to_coeff(Poly(permuted["perm_table"], LAGRANGE)),
+        permuted_table_blind=0,
+        product_poly=domain.lagrange_to_coeff(Poly(z, LAGRANGE)),
+        product_blind=0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# main prover
+# ---------------------------------------------------------------------------
+
+
+def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, multiopen):
+    """instances: list (per circuit) of list (per instance column) of int lists.
+
+    ``multiopen`` is a callable (params, rng, transcript, queries) -> None
+    (GWC / SHPLONK / IPA provers).  QUERY_INSTANCE is assumed False (KZG).
+    """
+    domain: EvaluationDomain = pk.vk.domain
+    spec = domain.spec
+    cs = pk.vk.cs
+    n = domain.n
+    p = spec.p
+
+    pk.vk.hash_into(transcript)
+
+    bf = cs.blinding_factors()
+    usable = n - (bf + 1)
+
+    # --- instances -------------------------------------------------------
+    instance_singles = []
+    for inst in instances:
+        values, polys = [], []
+        for col_values in inst:
+            if len(col_values) > usable:
+                raise InstanceTooLarge()
+            for v in col_values:
+                transcript.common_scalar(v % p)
+            padded = list(col_values) + [0] * (n - len(col_values))
+            lagr = Poly(limb.from_ints(spec, padded), LAGRANGE)
+            values.append(lagr.values)
+            polys.append(domain.lagrange_to_coeff(lagr))
+        instance_singles.append({"values": values, "polys": polys})
+
+    # --- phase loop: witness synthesis + advice commitments ----------------
+    num_circuits = len(circuits)
+    advice_values = [
+        [limb.zeros((n,)) for _ in range(cs.num_advice_columns)]
+        for _ in range(num_circuits)
+    ]
+    challenges: Dict[int, int] = {}
+    # the frontend circuit was configured against an un-optimized cs; re-run
+    # configure to obtain a config bound to a fresh cs with virtual selectors
+    cfg_cs = ConstraintSystem()
+    config = type(circuits[0]).configure(cfg_cs)
+
+    for phase in cs.phases():
+        col_indices = [
+            i for i, ph in enumerate(cs.advice_column_phase) if ph == phase
+        ]
+        for c_idx, circuit in enumerate(circuits):
+            witness = WitnessCollection(
+                params.k, cs, phase, instances[c_idx], challenges, usable
+            )
+            circuit.floor_planner.synthesize(
+                witness, circuit, config, list(cs.constants)
+            )
+            cols = batch_invert_assigned(
+                spec, [witness.advice[i] for i in col_indices], n
+            )
+            for poly_idx, col_idx in enumerate(col_indices):
+                vals = cols[poly_idx].values
+                blind_rows = limb.from_ints(spec, [rng() for _ in range(bf + 1)])
+                vals = _set_rows(vals, usable, blind_rows)
+                advice_values[c_idx][col_idx] = vals
+            blinds = [rng() for _ in col_indices]
+            for col_idx in col_indices:
+                _write_commitment(params, transcript, advice_values[c_idx][col_idx])
+        for index, ch_phase in enumerate(cs.challenge_phase):
+            if ch_phase == phase:
+                challenges[index] = transcript.squeeze_challenge()
+
+    challenges_list = [challenges[i] for i in range(cs.num_challenges)]
+    challenges_dev = [limb.from_int(spec, c) for c in challenges_list]
+
+    # --- theta + lookups: commit permuted ---------------------------------
+    theta = transcript.squeeze_challenge()
+    theta_dev = limb.from_int(spec, theta)
+
+    lookups_permuted = []
+    for c_idx in range(num_circuits):
+        per_circ = []
+        for arg in cs.lookups:
+            permuted = _lookup_commit_permuted(
+                arg, params, pk, theta_dev,
+                advice_values[c_idx], [f.values for f in pk.fixed_values],
+                instance_singles[c_idx]["values"], challenges_dev, rng, transcript,
+            )
+            _lookup_write_permuted_table(params, transcript, permuted)
+            per_circ.append(permuted)
+        lookups_permuted.append(per_circ)
+
+    # --- beta, gamma; permutation + lookup products ------------------------
+    beta = transcript.squeeze_challenge()
+    gamma = transcript.squeeze_challenge()
+
+    permutations = [
+        _permutation_commit(
+            params, pk, advice_values[c_idx], [f.values for f in pk.fixed_values],
+            instance_singles[c_idx]["values"], beta, gamma, rng, transcript,
+        )
+        for c_idx in range(num_circuits)
+    ]
+
+    lookups_committed = [
+        [
+            _lookup_commit_product(perm, params, pk, beta, gamma, rng, transcript)
+            for perm in lookups_permuted[c_idx]
+        ]
+        for c_idx in range(num_circuits)
+    ]
+
+    # --- vanishing random poly --------------------------------------------
+    random_vals = [rng() for _ in range(n)]
+    random_poly = Poly(limb.from_ints(spec, random_vals), COEFF)
+    _ = rng()  # random blind
+    rp_commit = params.commit(random_poly)
+    transcript.write_point(to_affine_ints(params.curve, rp_commit)[0])
+
+    # --- y; h(X) -----------------------------------------------------------
+    y = transcript.squeeze_challenge()
+
+    advice_polys = [
+        [domain.lagrange_to_coeff(Poly(v, LAGRANGE)) for v in advice_values[c]]
+        for c in range(num_circuits)
+    ]
+    instance_polys = [s["polys"] for s in instance_singles]
+
+    h_poly = pk.ev.evaluate_h(
+        pk,
+        advice_polys,
+        instance_polys,
+        challenges_dev,
+        limb.from_int(spec, y),
+        limb.from_int(spec, beta),
+        limb.from_int(spec, gamma),
+        limb.from_int(spec, theta),
+        lookups_committed,
+        permutations,
+    )
+
+    # --- vanishing construct (vanishing/prover.rs:68-120) -------------------
+    h_poly = domain.divide_by_vanishing_poly(h_poly)
+    h_coeffs = domain.extended_to_coeff(h_poly)  # (16, n * quotient_degree)
+    qd = domain.quotient_poly_degree
+    h_pieces = [
+        Poly(h_coeffs[:, i * n : (i + 1) * n], COEFF) for i in range(qd)
+    ]
+    h_blinds = [rng() for _ in h_pieces]
+    for piece in h_pieces:
+        cpt = params.commit(piece)
+        transcript.write_point(to_affine_ints(params.curve, cpt)[0])
+
+    # --- x; evaluations -----------------------------------------------------
+    x = transcript.squeeze_challenge()
+    xn = pow(x, n, p)
+
+    def dev_eval(poly: Poly, point: int) -> int:
+        return limb.to_ints(
+            spec, arith.eval_polynomial(spec, poly.values, point)
+        )[0]
+
+    for c_idx in range(num_circuits):
+        for column, at in cs.advice_queries:
+            ev = dev_eval(
+                advice_polys[c_idx][column.index], domain.rotate_omega(x, at)
+            )
+            transcript.write_scalar(ev)
+
+    for column, at in cs.fixed_queries:
+        ev = dev_eval(pk.fixed_polys[column.index], domain.rotate_omega(x, at))
+        transcript.write_scalar(ev)
+
+    # vanishing.evaluate: fold h pieces by xn, write random_eval
+    h_folded = None
+    for piece in reversed(h_pieces):
+        if h_folded is None:
+            h_folded = piece.values
+        else:
+            xnb = jnp.broadcast_to(
+                limb.from_int(spec, xn).reshape(NLIMBS, 1), h_folded.shape
+            )
+            h_folded = limb.fadd(spec, limb.fmul(spec, h_folded, xnb), piece.values)
+    h_poly_final = Poly(h_folded, COEFF)
+    transcript.write_scalar(dev_eval(random_poly, x))
+
+    # pk.permutation.evaluate: sigma evals
+    for poly in pk.permutation.polys:
+        transcript.write_scalar(dev_eval(poly, x))
+
+    # permutations evaluate
+    x_next = domain.rotate_omega(x, Rotation.next())
+    x_last = domain.rotate_omega(x, Rotation(-(bf + 1)))
+    for committed in permutations:
+        for set_idx, pset in enumerate(committed.sets):
+            transcript.write_scalar(dev_eval(pset.product_poly, x))
+            transcript.write_scalar(dev_eval(pset.product_poly, x_next))
+            if set_idx < len(committed.sets) - 1:
+                transcript.write_scalar(dev_eval(pset.product_poly, x_last))
+
+    # lookups evaluate (x, x_next, x_inv order per lookup/prover.rs:309-337)
+    x_inv = domain.rotate_omega(x, Rotation.prev())
+    for per_circ in lookups_committed:
+        for lk in per_circ:
+            transcript.write_scalar(dev_eval(lk.product_poly, x))
+            transcript.write_scalar(dev_eval(lk.product_poly, x_next))
+            transcript.write_scalar(dev_eval(lk.permuted_input_poly, x))
+            transcript.write_scalar(dev_eval(lk.permuted_input_poly, x_inv))
+            transcript.write_scalar(dev_eval(lk.permuted_table_poly, x))
+
+    # --- assemble multiopen queries (prover.rs:599-645) ----------------------
+    queries: List[ProverQuery] = []
+    for c_idx in range(num_circuits):
+        for column, at in cs.advice_queries:
+            queries.append(
+                ProverQuery(domain.rotate_omega(x, at), advice_polys[c_idx][column.index])
+            )
+        committed = permutations[c_idx]
+        for pset in committed.sets:
+            queries.append(ProverQuery(x, pset.product_poly))
+            queries.append(ProverQuery(x_next, pset.product_poly))
+        for pset in list(reversed(committed.sets))[1:]:
+            queries.append(ProverQuery(x_last, pset.product_poly))
+        for lk in lookups_committed[c_idx]:
+            queries.append(ProverQuery(x, lk.product_poly))
+            queries.append(ProverQuery(x, lk.permuted_input_poly))
+            queries.append(ProverQuery(x, lk.permuted_table_poly))
+            queries.append(ProverQuery(x_inv, lk.permuted_input_poly))
+            queries.append(ProverQuery(x_next, lk.product_poly))
+    for column, at in cs.fixed_queries:
+        queries.append(ProverQuery(domain.rotate_omega(x, at), pk.fixed_polys[column.index]))
+    for poly in pk.permutation.polys:
+        queries.append(ProverQuery(x, poly))
+    queries.append(ProverQuery(x, h_poly_final))
+    queries.append(ProverQuery(x, random_poly))
+
+    multiopen(params, rng, transcript, queries)
+    return transcript.finalize()

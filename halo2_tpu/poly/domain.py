@@ -95,6 +95,16 @@ class EvaluationDomain:
         )
 
     @functools.cached_property
+    def _omega_pows_full(self):
+        """Full (16, n) table of omega^i (permutation numerators etc.)."""
+        return ntt_ops.power_table(self.spec, self.omega, self.n)
+
+    @functools.cached_property
+    def _ext_tw_full(self):
+        """Full (16, extended_len) table of extended_omega^i (quotient eval)."""
+        return ntt_ops.power_table(self.spec, self.extended_omega, self.extended_len)
+
+    @functools.cached_property
     def _ifft_div_mont(self):
         return limb.from_int(self.spec, self.ifft_divisor)
 

@@ -1,0 +1,152 @@
+"""KZG polynomial commitment parameters + commit kernels (BN254).
+
+TPU-native rebuild of the reference ParamsKZG (poly/kzg/commitment.rs:23-129):
+the SRS (powers of s, Lagrange-basis SRS, G2 elements) is generated with
+batched device kernels — one batched per-lane scalar-mul for g, a closed-form
+Lagrange evaluation at s (L_i(s) = (s^n - 1) * omega^i / (n (s - omega^i)))
+for g_lagrange instead of the reference's FFT-over-points — and commitments
+are the Pippenger MSM kernel (commit = MSM over g or g_lagrange,
+kzg/commitment.rs:281-292,327-334).
+
+Dev/test setups keep the toxic waste s so the pairing check can be replaced by
+the equivalent known-s G1 check (s*L == R) until a proof needs real pairings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import jax.numpy as jnp
+
+from ..curves import bn254_g2
+from ..curves.point import Point, batch_normalize, from_affine_ints, to_affine_ints
+from ..curves.spec import BN254_G1, CurveSpec
+from ..fields import limb
+from ..fields.spec import NLIMBS
+from ..ops import ntt as ntt_ops
+from ..ops.msm import msm
+from ..ops.scalar_mul import batch_scalar_mul
+from ..transcript.transcript import point_from_bytes, point_to_bytes
+from .polynomial import COEFF, LAGRANGE, Poly
+
+
+class ParamsKZG:
+    """Universal (trusted) setup for KZG over BN254."""
+
+    curve: CurveSpec = BN254_G1
+
+    def __init__(self, k: int, g: Point, g_lagrange: Point, g2, s_g2, s: int | None = None):
+        self.k = k
+        self.n = 1 << k
+        self.g = g  # (n,)-batched affine Point (z normalized to 1)
+        self.g_lagrange = g_lagrange
+        self.g2 = g2
+        self.s_g2 = s_g2
+        self._s = s  # dev-only toxic waste (None for externally loaded params)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def setup(cls, k: int, seed: bytes = b"halo2-tpu-kzg") -> "ParamsKZG":
+        curve = cls.curve
+        fr = curve.scalar
+        n = 1 << k
+        s = (
+            int.from_bytes(hashlib.blake2b(seed, digest_size=64).digest(), "little")
+            % fr.p
+        )
+        if s == 0:
+            s = 1
+
+        # g[i] = s^i * G
+        s_pows = ntt_ops.power_table(fr, s, n)  # (16, n) mont
+        gpt = from_affine_ints(curve, [(curve.gx, curve.gy)])
+        g_broad = Point(
+            jnp.broadcast_to(gpt.x, (NLIMBS, n)),
+            jnp.broadcast_to(gpt.y, (NLIMBS, n)),
+            jnp.broadcast_to(gpt.z, (NLIMBS, n)),
+        )
+        g = batch_normalize(curve, batch_scalar_mul(curve, s_pows, g_broad))
+
+        # g_lagrange[i] = L_i(s) * G,  L_i(s) = (s^n - 1)/n * omega^i / (s - omega^i)
+        omega = pow(fr.root_of_unity, 1 << (fr.s - k), fr.p)
+        omega_pows = ntt_ops.power_table(fr, omega, n)
+        s_arr = jnp.broadcast_to(limb.from_int(fr, s).reshape(NLIMBS, 1), (NLIMBS, n))
+        denom = limb.fsub(fr, s_arr, omega_pows)
+        denom_inv = limb.batch_inv(fr, denom)
+        common = (pow(s, n, fr.p) - 1) * pow(n, -1, fr.p) % fr.p
+        common_arr = jnp.broadcast_to(
+            limb.from_int(fr, common).reshape(NLIMBS, 1), (NLIMBS, n)
+        )
+        li = limb.fmul(fr, limb.fmul(fr, common_arr, omega_pows), denom_inv)
+        g_lagrange = batch_normalize(curve, batch_scalar_mul(curve, li, g_broad))
+
+        g2 = bn254_g2.G2_GENERATOR
+        s_g2 = bn254_g2.g2_mul(g2, s)
+        return cls(k, g, g_lagrange, g2, s_g2, s=s)
+
+    # ------------------------------------------------------------------
+    def commit_lagrange(self, poly: Poly, blind_mont=None) -> Point:
+        """MSM over the Lagrange SRS (+ blind * g[n-1]... the reference adds the
+        blind via an extra base; blinds are folded by callers here)."""
+        assert poly.basis == LAGRANGE
+        return msm(self.curve, poly.values, self.g_lagrange)
+
+    def commit(self, poly: Poly) -> Point:
+        assert poly.basis == COEFF
+        return msm(self.curve, poly.values, self.g)
+
+    def commit_coeffs(self, coeffs: jnp.ndarray) -> Point:
+        """Commit raw coefficient limbs of arbitrary length <= n."""
+        m = coeffs.shape[1]
+        g = Point(self.g.x[:, :m], self.g.y[:, :m], self.g.z[:, :m])
+        return msm(self.curve, coeffs, g)
+
+    # ------------------------------------------------------------------
+    def verify_pairing_known_s(self, lhs, rhs) -> bool:
+        """Equivalent of e(L, s G2) * e(R, -G2) == 1 using known s (dev only):
+        s * L == R in G1 (host scalar muls)."""
+        assert self._s is not None, "params loaded without toxic waste"
+        from ..curves import host
+
+        return host.mul(self.curve, lhs, self._s) == rhs
+
+    def verify_pairing(self, lhs, rhs) -> bool:
+        """Real pairing check e(L, s G2) == e(R, G2)."""
+        from ..curves import bn254_pairing as pairing
+
+        if self._s is not None:
+            return self.verify_pairing_known_s(lhs, rhs)
+        e1 = pairing.pairing(lhs, self.s_g2)
+        e2 = pairing.pairing(rhs, self.g2)
+        return e1 == e2
+
+    # ------------------------------------------------------------------
+    def write(self, path: str):
+        curve = self.curve
+        gs = to_affine_ints(curve, self.g)
+        gl = to_affine_ints(curve, self.g_lagrange)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<I", self.k))
+            for pt in gs + gl:
+                f.write(point_to_bytes(curve, pt))
+            for g2pt in (self.g2, self.s_g2):
+                for c in (g2pt[0].c0, g2pt[0].c1, g2pt[1].c0, g2pt[1].c1):
+                    f.write(c.to_bytes(32, "little"))
+
+    @classmethod
+    def read(cls, path: str) -> "ParamsKZG":
+        curve = cls.curve
+        with open(path, "rb") as f:
+            (k,) = struct.unpack("<I", f.read(4))
+            n = 1 << k
+            pts = [point_from_bytes(curve, f.read(32)) for _ in range(2 * n)]
+            g2s = []
+            for _ in range(2):
+                c = [int.from_bytes(f.read(32), "little") for _ in range(4)]
+                g2s.append(
+                    (bn254_g2.Fq2(c[0], c[1]), bn254_g2.Fq2(c[2], c[3]))
+                )
+        g = from_affine_ints(curve, pts[:n])
+        g_lagrange = from_affine_ints(curve, pts[n:])
+        return cls(k, g, g_lagrange, g2s[0], g2s[1])

@@ -1,0 +1,77 @@
+"""Headline benchmark: Pippenger MSM throughput (BN254 G1) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md), and its Rust criterion
+harnesses cannot run here (no Rust toolchain in the image), so ``vs_baseline``
+is computed against the documented estimate of the reference's multicore CPU
+rate for ``best_multiexp`` at 2^16 points — 1.0e6 points/sec (BASELINE.md,
+"CPU reference estimate").
+"""
+
+import json
+import time
+
+import jax
+
+CPU_BASELINE_PTS_PER_SEC = 1.0e6  # see BASELINE.md
+K = 16
+REPS = 5
+
+
+def main():
+    from halo2_tpu.curves.point import Point, batch_normalize
+    from halo2_tpu.curves.spec import BN254_G1
+    from halo2_tpu.fields import limb
+    from halo2_tpu.ops import ntt as ntt_ops
+    from halo2_tpu.ops.msm import msm
+    from halo2_tpu.ops.scalar_mul import batch_scalar_mul
+
+    import jax.numpy as jnp
+    from halo2_tpu.fields.spec import NLIMBS
+
+    curve = BN254_G1
+    fr = curve.scalar
+    n = 1 << K
+
+    # bases: s^i * G for a fixed s (structured, but MSM cost is data-independent)
+    s = 0x2F39C57A1F6BC5E7D5A8E2B1C4D3F6A7B8C9D0E1F2A3B4C5D6E7F8091A2B3C4 % fr.p
+    s_pows = ntt_ops.power_table(fr, s, n)
+    from halo2_tpu.curves.point import generator
+
+    gpt = generator(curve)
+    g_broad = Point(
+        jnp.broadcast_to(gpt.x.reshape(NLIMBS, 1), (NLIMBS, n)),
+        jnp.broadcast_to(gpt.y.reshape(NLIMBS, 1), (NLIMBS, n)),
+        jnp.broadcast_to(gpt.z.reshape(NLIMBS, 1), (NLIMBS, n)),
+    )
+    points = batch_normalize(curve, batch_scalar_mul(curve, s_pows, g_broad))
+    # scalars: another power table (uniform-looking field elements)
+    t = 0x1D2C3B4A5968778695A4B3C2D1E0F1E2D3C4B5A69788796A5B4C3D2E1F0A1B2 % fr.p
+    scalars = ntt_ops.power_table(fr, t, n)
+
+    run = jax.jit(lambda sc, pt: msm(curve, sc, pt))
+    out = run(scalars, points)
+    jax.block_until_ready(out)  # warmup/compile
+
+    start = time.perf_counter()
+    for _ in range(REPS):
+        out = run(scalars, points)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    rate = n * REPS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"msm_bn254_points_per_sec_k{K}",
+                "value": round(rate, 1),
+                "unit": "points/sec",
+                "vs_baseline": round(rate / CPU_BASELINE_PTS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

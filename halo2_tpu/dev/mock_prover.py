@@ -23,7 +23,7 @@ from ..plonk.circuit import (
     ConstraintSystem,
 )
 from ..plonk.error import NotEnoughRowsAvailable
-from ..plonk.keygen import convert_selectors
+from ..plonk.keygen import compress_selectors
 from ..poly.polynomial import Rotation
 
 UNASSIGNED = "unassigned"
@@ -117,8 +117,8 @@ class MockProver(Assignment):
                 raise InstanceTooLarge()
             prover.instance.append([v % spec.p for v in col])
         circuit.floor_planner.synthesize(prover, circuit, config, list(cs.constants))
-        # convert selectors into fixed columns (mirrors dev.rs:588-596)
-        selector_values = convert_selectors(cs, prover.selectors)
+        # compress selectors into combination fixed columns (dev.rs:588-596)
+        selector_values = compress_selectors(cs, prover.selectors)
         for sv in selector_values:
             prover.fixed.append([int(b) for b in sv])
         return prover

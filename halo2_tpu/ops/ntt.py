@@ -76,6 +76,34 @@ def ntt(spec: FieldSpec, a: jnp.ndarray, twiddles: jnp.ndarray, k: int) -> jnp.n
     return a
 
 
+def ntt_batched(
+    spec: FieldSpec, a: jnp.ndarray, twiddles: jnp.ndarray, k: int
+) -> jnp.ndarray:
+    """DFT along the last axis of a (16, B, 2^k) limb array.
+
+    Butterfly network identical to :func:`ntt` with one extra batch axis; the
+    batch rides a second lane dimension so the compiled graph stays a dense
+    stack of whole-array VPU ops.  Used per-row by the distributed four-step
+    NTT (parallel/ntt.py) and for batched column transforms.
+    """
+    n = 1 << k
+    assert a.shape[0] == NLIMBS and a.shape[-1] == n
+    b = a.shape[1]
+    a = a[:, :, _bitrev_indices(k)]
+    for s in range(1, k + 1):
+        half = 1 << (s - 1)
+        stride = 1 << (k - s)
+        tw = twiddles[:, ::stride][:, :half]  # (16, half)
+        x = a.reshape(NLIMBS, b, n // (2 * half), 2, half)
+        lo = x[:, :, :, 0, :]
+        hi = x[:, :, :, 1, :]
+        t = limb.fmul(spec, hi, jnp.broadcast_to(tw[:, None, None, :], hi.shape))
+        out0 = limb.fadd(spec, lo, t)
+        out1 = limb.fsub(spec, lo, t)
+        a = jnp.stack([out0, out1], axis=3).reshape(NLIMBS, b, n)
+    return a
+
+
 def intt(
     spec: FieldSpec,
     a: jnp.ndarray,

@@ -1,0 +1,65 @@
+"""Multi-chip MSM: points sharded per chip, partial sums combined over ICI.
+
+TPU-native replacement for the reference's chunk-per-thread Pippenger
+(``best_multiexp``, arithmetic.rs:132-159): each chip runs the full sort+scan
+bucket kernel (ops/msm.py) on its local slice of (scalars, points), producing
+one projective partial; the D partials (3x16 u32 each — tiny) are all-gathered
+over the mesh axis and tree-reduced with the complete EC add on every chip, so
+the result is replicated and no further collective is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..curves.point import Point, ec_add
+from ..curves.spec import CurveSpec
+from ..ops.msm import choose_window, msm
+from .mesh import SHARD_AXIS
+
+
+def sharded_msm(spec: CurveSpec, scalars_mont, points: Point, mesh, c: int = 0) -> Point:
+    """sum_i scalars[i] * points[i] with points/scalars sharded over the mesh.
+
+    scalars_mont: (16, n) Montgomery scalar limbs; points: batched Point over
+    n.  n must be divisible by the mesh size.  Returns a replicated projective
+    Point.
+    """
+    ndev = mesh.shape[SHARD_AXIS]
+    n = scalars_mont.shape[1]
+    assert n % ndev == 0, "point count must divide evenly across the mesh"
+    if c == 0:
+        c = choose_window(n // ndev)
+
+    def local(scal, pts):
+        part = msm(spec, scal, pts, c)
+        xs = jax.lax.all_gather(part.x, SHARD_AXIS)  # (D, 16)
+        ys = jax.lax.all_gather(part.y, SHARD_AXIS)
+        zs = jax.lax.all_gather(part.z, SHARD_AXIS)
+        # tree-reduce over the (small) device axis; replicated on every chip
+        m = ndev
+        acc = Point(xs.T, ys.T, zs.T)  # (16, D)
+        while m > 1:
+            half = m // 2
+            acc = ec_add(
+                spec,
+                Point(acc.x[:, :half], acc.y[:, :half], acc.z[:, :half]),
+                Point(acc.x[:, half : 2 * half], acc.y[:, half : 2 * half], acc.z[:, half : 2 * half]),
+            )
+            m = half
+        return Point(acc.x[:, 0], acc.y[:, 0], acc.z[:, 0])
+
+    shard = P(None, SHARD_AXIS)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(shard, Point(shard, shard, shard)),
+        out_specs=Point(P(None), P(None), P(None)),
+    )
+    return fn(scalars_mont, points)

@@ -1,0 +1,127 @@
+"""Distributed NTT: four-step Cooley–Tukey with all_to_all stage exchanges.
+
+TPU-native replacement for the reference's thread-split recursive FFT
+(arithmetic.rs:202-274).  The length-n transform over a D-chip mesh is
+factored n = D * n2 (decimation j = j1*n2 + j2, i = i1 + D*i2):
+
+    out[i1 + D*i2] = DFT_n2 over j2 of [ w^(i1*j2) * (DFT_D over j1 of M)[i1, j2] ]
+
+so the device axis carries the size-D inner transform and each chip runs dense
+local butterfly kernels (ops/ntt.py) on its rows.  Three all_to_all exchanges
+ride ICI: (1) row->column tiles so the size-D transform is chip-local, (2)
+tiles->rows so the size-n2 transform is chip-local, (3) final reorder back to
+contiguous sharding.  Twiddle factors w^(i1*j2) are built chip-locally from a
+sharded power table with D-1 vector muls — no O(n*D) twiddle matrix is ever
+materialized.
+
+Requires n >= D^2 (so the exchange tiles are nonempty) and power-of-two D.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.4.35
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..fields import limb
+from ..fields.spec import NLIMBS, FieldSpec
+from ..ops import ntt as ntt_ops
+from .mesh import SHARD_AXIS
+
+
+def _log2(x: int) -> int:
+    k = x.bit_length() - 1
+    assert 1 << k == x
+    return k
+
+
+def _local_fourstep(spec: FieldSpec, a, w_j2, tw_inner, tw_outer, ndev: int):
+    """Per-chip body. a: (16, n2) local row; w_j2: (16, m) local slice of the
+    (16, n2) global table of w^j2; tw_inner: (16, D/2) powers of w^n2;
+    tw_outer: (16, n2/2) powers of w^D.  Returns the local (16, n2) chunk of
+    the contiguously-sharded output."""
+    n2 = a.shape[1]
+    m = n2 // ndev
+    k1 = _log2(ndev)
+    k2 = _log2(n2)
+
+    # (1) row -> column tiles: chip d gets M[j1=*, j2 in tile d] as (16, D, m)
+    t1 = a.reshape(NLIMBS, ndev, m)
+    t1 = jax.lax.all_to_all(t1, SHARD_AXIS, split_axis=1, concat_axis=1, tiled=True)
+
+    # (2) inner DFT over j1 (size D), batched over the m local j2 columns
+    t1 = jnp.swapaxes(t1, 1, 2)  # (16, m, D)
+    t2 = ntt_ops.ntt_batched(spec, t1, tw_inner, k1)  # A[:, j2loc, i1]
+
+    # (3) twiddle by w^(i1 * j2): rows of powers of the local w^j2 slice
+    rows = [None]  # i1 = 0 -> multiply by 1, skip
+    cur = w_j2
+    for _ in range(1, ndev):
+        rows.append(cur)
+        cur = limb.fmul(spec, cur, w_j2)
+    cols = [t2[:, :, 0:1]]
+    for i1 in range(1, ndev):
+        cols.append(limb.fmul(spec, t2[:, :, i1 : i1 + 1], rows[i1][:, :, None]))
+    t3 = jnp.concatenate(cols, axis=2)  # (16, m, D)
+
+    # (4) tiles -> i1 rows: chip e gets A'[i1=e, all j2] as (16, n2)
+    t4 = jnp.swapaxes(t3, 1, 2)  # (16, D, m)
+    t4 = jax.lax.all_to_all(t4, SHARD_AXIS, split_axis=1, concat_axis=2, tiled=True)
+    t4 = t4.reshape(NLIMBS, n2)
+
+    # (5) outer DFT over j2 (size n2): C[i1=e, i2]
+    t5 = ntt_ops.ntt(spec, t4, tw_outer, k2)
+
+    # (6) reorder to contiguous output sharding: chip d's chunk is
+    #     out_local[i1 + D*i2loc] = C[i1, d*m + i2loc]
+    t6 = t5.reshape(NLIMBS, ndev, m)  # axis1 = destination tile
+    t6 = jax.lax.all_to_all(t6, SHARD_AXIS, split_axis=1, concat_axis=1, tiled=True)
+    # axis1 = source chip = i1; interleave: flat index i2loc*D + i1
+    return jnp.swapaxes(t6, 1, 2).reshape(NLIMBS, n2)
+
+
+@functools.lru_cache(maxsize=None)
+def _tables(spec: FieldSpec, omega: int, n: int, ndev: int):
+    n2 = n // ndev
+    w_j2 = ntt_ops.power_table(spec, omega, n2)  # sharded input
+    tw_inner = ntt_ops.power_table(spec, pow(omega, n2, spec.p), max(ndev // 2, 1))
+    tw_outer = ntt_ops.power_table(spec, pow(omega, ndev, spec.p), n2 // 2)
+    return w_j2, tw_inner, tw_outer
+
+
+def sharded_ntt(spec: FieldSpec, a, k: int, omega: int, mesh):
+    """DFT of a (16, 2^k) limb array sharded over the mesh's last axis.
+
+    ``omega`` is the canonical-int primitive 2^k-th root of unity.  Input and
+    output are contiguously sharded along axis 1 (spec ``P(None, "shard")``).
+    """
+    n = 1 << k
+    ndev = mesh.shape[SHARD_AXIS]
+    assert a.shape == (NLIMBS, n) and n >= ndev * ndev
+    w_j2, tw_inner, tw_outer = _tables(spec, omega, n, ndev)
+
+    shard = P(None, SHARD_AXIS)
+    fn = shard_map(
+        lambda x, w: _local_fourstep(spec, x, w, tw_inner, tw_outer, ndev),
+        mesh=mesh,
+        in_specs=(shard, shard),
+        out_specs=shard,
+    )
+    return fn(a, w_j2)
+
+
+def sharded_intt(spec: FieldSpec, a, k: int, omega: int, mesh):
+    """Inverse DFT (sharded): forward transform with omega^-1, scaled by 1/n."""
+    p = spec.p
+    out = sharded_ntt(spec, a, k, pow(omega, -1, p), mesh)
+    n_inv = limb.from_int(spec, pow(1 << k, -1, p))
+    return limb.fmul(
+        spec, out, jnp.broadcast_to(n_inv.reshape(NLIMBS, 1), out.shape)
+    )

@@ -66,8 +66,20 @@ def _replace_selectors(expr: Expression, replacements) -> Expression:
     return expr
 
 
+def _apply_replacements(cs: ConstraintSystem, replacements):
+    for gate in cs.gates:
+        gate.polys = [_replace_selectors(p, replacements) for p in gate.polys]
+    for lk in cs.lookups:
+        lk.input_expressions = [
+            _replace_selectors(e, replacements) for e in lk.input_expressions
+        ]
+        lk.table_expressions = [
+            _replace_selectors(e, replacements) for e in lk.table_expressions
+        ]
+
+
 def convert_selectors(cs: ConstraintSystem, selectors: List[np.ndarray]):
-    """Turn every virtual selector into its own fixed column.
+    """Turn every virtual selector into its own fixed column (direct mode).
 
     Returns the selector polynomial values (list of 0/1 numpy arrays).  The
     ConstraintSystem is mutated: new fixed columns + rewritten expressions.
@@ -78,16 +90,137 @@ def convert_selectors(cs: ConstraintSystem, selectors: List[np.ndarray]):
         cs.selector_map.append(column)
         idx = cs.query_fixed_index(column, Rotation.cur())
         replacements.append(FixedExpr(FixedQuery(idx, column.index, Rotation.cur())))
-    for gate in cs.gates:
-        gate.polys = [_replace_selectors(p, replacements) for p in gate.polys]
-    for lk in cs.lookups:
-        lk.input_expressions = [
-            _replace_selectors(e, replacements) for e in lk.input_expressions
-        ]
-        lk.table_expressions = [
-            _replace_selectors(e, replacements) for e in lk.table_expressions
-        ]
+    _apply_replacements(cs, replacements)
     return [np.asarray(s, dtype=np.uint8) for s in selectors]
+
+
+def _process_selector_combinations(descriptions, max_degree, allocate):
+    """compress_selectors.rs:50-227 ``process`` — deterministic packing of
+    disjoint simple selectors into combination fixed columns under the degree
+    budget.  descriptions: list of (selector_index, activations, max_degree).
+    Returns (combination_assignments [int lists], selector_assignments
+    [(selector_index, combination_index, expression)])."""
+    from .circuit import Constant
+
+    if not descriptions:
+        return [], []
+    n = len(descriptions[0][1])
+    assert all(len(d[1]) == n for d in descriptions)
+
+    combination_assignments = []
+    selector_assignments = []
+
+    # degree-0 selectors (complex or unused in gates): own fixed column
+    remaining = []
+    for sel_idx, activations, degree in descriptions:
+        if degree == 0:
+            expression = allocate()
+            combination_assignments.append([1 if b else 0 for b in activations])
+            selector_assignments.append(
+                (sel_idx, len(combination_assignments) - 1, expression)
+            )
+        else:
+            remaining.append((sel_idx, activations, degree))
+
+    # exclusion matrix over the simple selectors
+    m = len(remaining)
+    exclusion = [[False] * i for i in range(m)]
+    for i in range(m):
+        rows_i = remaining[i][1]
+        for j in range(i):
+            rows_j = remaining[j][1]
+            if any(l and r for l, r in zip(rows_i, rows_j)):
+                exclusion[i][j] = True
+
+    added = [False] * m
+    for i in range(m):
+        if added[i]:
+            continue
+        added[i] = True
+        sel_idx, activations, degree = remaining[i]
+        assert degree <= max_degree
+        d = degree - 1
+        combination = [remaining[i]]
+        combination_added = [i]
+
+        for j in range(i + 1, m):
+            if d + len(combination) == max_degree:
+                break
+            if added[j]:
+                continue
+            if any(exclusion[j][k] for k in combination_added):
+                continue
+            new_d = max(d, remaining[j][2] - 1)
+            if new_d + len(combination) + 1 > max_degree:
+                continue
+            d = new_d
+            combination.append(remaining[j])
+            combination_added.append(j)
+            added[j] = True
+
+        combination_assignment = [0] * n
+        combination_len = len(combination)
+        combination_index = len(combination_assignments)
+        query = allocate()
+
+        assigned_root = 1
+        for c_sel_idx, c_activations, _ in combination:
+            # q * Prod[root != assigned_root](root - q)
+            expression = query
+            for root in range(1, combination_len + 1):
+                if root != assigned_root:
+                    expression = expression * (Constant(root) - query)
+            for row, active in enumerate(c_activations):
+                if active:
+                    combination_assignment[row] = assigned_root
+            selector_assignments.append((c_sel_idx, combination_index, expression))
+            assigned_root += 1
+        combination_assignments.append(combination_assignment)
+
+    return combination_assignments, selector_assignments
+
+
+def compress_selectors(cs: ConstraintSystem, selectors: List[np.ndarray]):
+    """plonk/circuit.rs:1723-1800 ``compress_selectors``: pack boolean
+    selectors into few fixed columns under the existing degree budget, rewrite
+    gate/lookup expressions, and return the combination column values as
+    numpy int arrays."""
+    assert len(selectors) == cs.num_selectors
+    if cs.num_selectors == 0:
+        return []
+
+    degrees = [0] * cs.num_selectors
+    for gate in cs.gates:
+        for poly in gate.polys:
+            sel = poly.extract_simple_selector()
+            if sel is not None:
+                degrees[sel.index] = max(degrees[sel.index], poly.degree())
+
+    max_degree = cs.degree()
+    new_columns = []
+
+    def allocate():
+        column = cs.fixed_column()
+        new_columns.append(column)
+        idx = cs.query_fixed_index(column, Rotation.cur())
+        return FixedExpr(FixedQuery(idx, column.index, Rotation.cur()))
+
+    descriptions = [
+        (i, [bool(b) for b in selectors[i]], degrees[i])
+        for i in range(cs.num_selectors)
+    ]
+    combination_assignments, selector_assignments = _process_selector_combinations(
+        descriptions, max_degree, allocate
+    )
+
+    replacements = [None] * cs.num_selectors
+    selector_map = [None] * cs.num_selectors
+    for sel_idx, combination_index, expression in selector_assignments:
+        replacements[sel_idx] = expression
+        selector_map[sel_idx] = new_columns[combination_index]
+    cs.selector_map = selector_map
+    _apply_replacements(cs, replacements)
+    return [np.asarray(vals, dtype=np.int64) for vals in combination_assignments]
 
 
 # ---------------------------------------------------------------------------
@@ -256,7 +389,7 @@ def _run_keygen_synthesis(params, spec, circuit, k):
     assembly = KeygenAssembly(k, cs, n)
     circuit.floor_planner.synthesize(assembly, circuit, config, list(cs.constants))
     fixed = batch_invert_assigned(spec, assembly.fixed, n)
-    selector_values = convert_selectors(cs, assembly.selectors)
+    selector_values = compress_selectors(cs, assembly.selectors)
     for sv in selector_values:
         vals = limb.from_canonical_ints(spec, [int(b) for b in sv])
         fixed.append(Poly(vals, LAGRANGE))

@@ -112,14 +112,20 @@ class ParamsKZG:
         return host.mul(self.curve, lhs, self._s) == rhs
 
     def verify_pairing(self, lhs, rhs) -> bool:
-        """Real pairing check e(L, s G2) == e(R, G2)."""
-        from ..curves import bn254_pairing as pairing
+        """Real pairing check e(L, s G2) * e(-R, G2) == 1 (kzg/msm.rs:151-169).
 
+        Dev params keep the toxic waste and use the equivalent known-s G1
+        check, which is much faster; externally-loaded params run the full
+        optimal-ate pairing (curves/bn254_pairing.py).
+        """
         if self._s is not None:
             return self.verify_pairing_known_s(lhs, rhs)
-        e1 = pairing.pairing(lhs, self.s_g2)
-        e2 = pairing.pairing(rhs, self.g2)
-        return e1 == e2
+        from ..curves import bn254_pairing as pairing
+        from ..curves import host
+
+        return pairing.pairing_check(
+            [(lhs, self.s_g2), (host.neg(self.curve, rhs), self.g2)]
+        )
 
     # ------------------------------------------------------------------
     def write(self, path: str):

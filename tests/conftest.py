@@ -5,7 +5,10 @@ Must set XLA flags before jax initializes (SURVEY.md §4 implication (d)).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the real TPU
+# tunnel and a sitecustomize imports jax at interpreter start, so the env var
+# alone is too late — update the already-imported config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: big-field kernels are compile-heavy; reuse
 # compilations across test runs.

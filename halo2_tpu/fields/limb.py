@@ -17,6 +17,8 @@ specs are hashable dataclasses, safe to close over in jitted code.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -140,11 +142,13 @@ def _cond_sub_p(spec: FieldSpec, digits):
 # add / sub / neg
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnums=0)
 def fadd(spec: FieldSpec, a, b):
     s, _ = _carry_propagate([x + y for x, y in zip(_split(a), _split(b))])
     return _stack(_cond_sub_p(spec, s))
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def fsub(spec: FieldSpec, a, b):
     d, borrow = _sub_borrow(_split(a), _split(b))
     p_digits = [np.uint32(x) for x in spec.p_limbs]
@@ -153,6 +157,7 @@ def fsub(spec: FieldSpec, a, b):
     return _stack([jnp.where(need_p, x, y) for x, y in zip(dp, d)])
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def fneg(spec: FieldSpec, a):
     d, _ = _sub_borrow([np.uint32(x) for x in spec.p_limbs], _split(a))
     z = is_zero(a)
@@ -179,8 +184,34 @@ def select(cond, a, b):
 # Montgomery multiplication
 # ---------------------------------------------------------------------------
 
+_PALLAS_FMUL = None  # resolved lazily: True on the TPU backend
+
+
+def _pallas_enabled() -> bool:
+    global _PALLAS_FMUL
+    if _PALLAS_FMUL is None:
+        from .pallas_kernels import backend_is_tpu
+
+        _PALLAS_FMUL = backend_is_tpu()
+    return _PALLAS_FMUL
+
+
+@functools.partial(jax.jit, static_argnums=0)
 def fmul(spec: FieldSpec, a, b):
-    """Montgomery product: returns a*b/R mod p, inputs/outputs in [0, p)."""
+    """Montgomery product: returns a*b/R mod p, inputs/outputs in [0, p).
+
+    On the TPU backend the whole product runs as one tiled Pallas kernel
+    (fields/pallas_kernels.py); elsewhere it lowers to the fused jnp graph
+    below.  The two paths are bit-identical (tests/test_pallas_kernels.py).
+    """
+    if _pallas_enabled() and a.shape == b.shape and a.ndim >= 2:
+        from .pallas_kernels import mont_mul_pallas
+
+        batch = a.shape[1:]
+        out = mont_mul_pallas(
+            spec, a.reshape(NLIMBS, -1), b.reshape(NLIMBS, -1)
+        )
+        return out.reshape((NLIMBS,) + batch)
     # Schoolbook product into 32 lazily-carried columns.  Each 16x16 product is
     # exact in uint32; we split into lo/hi halves so column accumulators stay
     # far below 2^32 (<= 32 terms of < 2^16 each plus REDC contributions).
@@ -277,12 +308,14 @@ def fpow_const(spec: FieldSpec, a, e: int):
     return acc
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def finv(spec: FieldSpec, a):
     """Batched inverse via Fermat: a^(p-2).  Maps 0 -> 0 (like batch usage in
     the reference where zero denominators are structurally excluded)."""
     return fpow_const(spec, a, spec.p - 2)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def batch_inv(spec: FieldSpec, a):
     """Montgomery-trick batched inversion over axis 1 of a (16, n) array.
 

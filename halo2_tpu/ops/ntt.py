@@ -53,6 +53,7 @@ def power_table(spec: FieldSpec, base: int, n: int) -> jnp.ndarray:
     return table[:, :n]
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def ntt(spec: FieldSpec, a: jnp.ndarray, twiddles: jnp.ndarray, k: int) -> jnp.ndarray:
     """DFT of a (16, 2^k) limb array.
 
@@ -76,6 +77,7 @@ def ntt(spec: FieldSpec, a: jnp.ndarray, twiddles: jnp.ndarray, k: int) -> jnp.n
     return a
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def ntt_batched(
     spec: FieldSpec, a: jnp.ndarray, twiddles: jnp.ndarray, k: int
 ) -> jnp.ndarray:
@@ -104,6 +106,7 @@ def ntt_batched(
     return a
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def intt(
     spec: FieldSpec,
     a: jnp.ndarray,

@@ -3,11 +3,10 @@
 Rebuild of plonk/keygen.rs (SURVEY.md §2.17, call stack §3.1) plus the
 VerifyingKey/ProvingKey containers (plonk.rs §2.24).
 
-Selector handling: selectors are currently converted *directly* — one fixed
-column per selector, with gate/lookup expressions rewritten to query it.  This
-matches the semantics (and self-consistency) of the reference's
-compress_selectors pipeline but not yet its column-packing optimization
-(compress_selectors.rs; planned follow-up).
+Selector handling: the real compress_selectors pipeline (circuit.rs:1723-1800
++ compress_selectors.rs) — disjoint simple selectors are packed into
+combination fixed columns under the degree budget; ``convert_selectors`` keeps
+the simpler one-column-per-selector mode for debugging.
 """
 
 from __future__ import annotations
@@ -404,7 +403,8 @@ def keygen_vk(params, circuit, spec: FieldSpec | None = None) -> VerifyingKey:
     from ..curves.point import to_affine_ints
 
     fixed_commitments = [
-        to_affine_ints(params.curve, params.commit_lagrange(poly))[0] for poly in fixed
+        to_affine_ints(params.curve, params.commit_lagrange(poly, 1))[0]
+        for poly in fixed  # Blind::default() = 1 (keygen.rs:247-250)
     ]
     perm_comms = [
         to_affine_ints(params.curve, c)[0] for c in perm_vk.commitments

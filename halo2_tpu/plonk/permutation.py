@@ -91,7 +91,7 @@ class PermutationAssembly:
     def build_vk(self, params, domain: EvaluationDomain, p: PermutationArgument):
         spec = domain.spec
         sigmas = self._sigma_lagrange(spec, domain)
-        commitments = [params.commit_lagrange(s) for s in sigmas]
+        commitments = [params.commit_lagrange(s, 1) for s in sigmas]  # Blind::default()
         return PermutationVK(commitments)
 
     def build_pk(self, params, domain: EvaluationDomain, p: PermutationArgument):

@@ -140,8 +140,8 @@ def _set_rows(values: jnp.ndarray, start_row: int, replacement: jnp.ndarray):
     return jnp.concatenate([values[:, :start_row], replacement], axis=1)
 
 
-def _write_commitment(params, transcript, values_lagrange: jnp.ndarray):
-    pt = params.commit_lagrange(Poly(values_lagrange, LAGRANGE))
+def _write_commitment(params, transcript, values_lagrange: jnp.ndarray, blind: int = 0):
+    pt = params.commit_lagrange(Poly(values_lagrange, LAGRANGE), blind)
     affine = to_affine_ints(params.curve, pt)[0]
     transcript.write_point(affine)
     return affine
@@ -217,11 +217,11 @@ def _permutation_commit(
         z = _set_rows(z, n - bf, blinds)
         last_z = z[:, n - (bf + 1)]
 
-        _ = rng()  # commitment blind (unused by KZG but keeps the rng stream)
-        _write_commitment(params, transcript, z)
+        z_blind = rng()  # commitment blind (KZG ignores the value; IPA uses it)
+        _write_commitment(params, transcript, z, z_blind)
         zc = domain.lagrange_to_coeff(Poly(z, LAGRANGE))
         coset = domain.coeff_to_extended(zc)
-        sets.append(PermutationCommittedSet(zc, coset.values, 0))
+        sets.append(PermutationCommittedSet(zc, coset.values, z_blind))
     return PermutationCommitted(sets)
 
 
@@ -289,19 +289,21 @@ def _lookup_commit_permuted(
     pi_dev = limb.from_ints(spec, pi)
     pt_dev = limb.from_ints(spec, pt)
 
-    _ = rng()  # input blind
-    _write_commitment(params, transcript, pi_dev)
-    _ = rng()  # table blind  (order: commit_values samples blind before commit)
+    input_blind = rng()
+    _write_commitment(params, transcript, pi_dev, input_blind)
+    table_blind = rng()  # commit_values samples the blind before committing
     return {
         "comp_input": comp_input,
         "comp_table": comp_table,
         "perm_input": pi_dev,
         "perm_table": pt_dev,
+        "input_blind": input_blind,
+        "table_blind": table_blind,
     }
 
 
 def _lookup_write_permuted_table(params, transcript, permuted):
-    _write_commitment(params, transcript, permuted["perm_table"])
+    _write_commitment(params, transcript, permuted["perm_table"], permuted["table_blind"])
 
 
 def _lookup_commit_product(
@@ -327,16 +329,16 @@ def _lookup_commit_product(
     blinds = limb.from_ints(spec, [rng() for _ in range(bf)])
     z = _set_rows(z, n - bf, blinds)
 
-    _ = rng()  # product blind
-    _write_commitment(params, transcript, z)
+    product_blind = rng()
+    _write_commitment(params, transcript, z, product_blind)
 
     return LookupCommitted(
         permuted_input_poly=domain.lagrange_to_coeff(Poly(permuted["perm_input"], LAGRANGE)),
-        permuted_input_blind=0,
+        permuted_input_blind=permuted["input_blind"],
         permuted_table_poly=domain.lagrange_to_coeff(Poly(permuted["perm_table"], LAGRANGE)),
-        permuted_table_blind=0,
+        permuted_table_blind=permuted["table_blind"],
         product_poly=domain.lagrange_to_coeff(Poly(z, LAGRANGE)),
-        product_blind=0,
+        product_blind=product_blind,
     )
 
 
@@ -345,11 +347,16 @@ def _lookup_commit_product(
 # ---------------------------------------------------------------------------
 
 
-def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, multiopen):
+def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, multiopen,
+                 query_instance: bool = False):
     """instances: list (per circuit) of list (per instance column) of int lists.
 
     ``multiopen`` is a callable (params, rng, transcript, queries) -> None
-    (GWC / SHPLONK / IPA provers).  QUERY_INSTANCE is assumed False (KZG).
+    (GWC / SHPLONK / IPA provers).  ``query_instance`` selects the scheme's
+    instance handling (prover.rs:79-132): False (KZG) hashes instance values
+    as common scalars; True (IPA) commits each instance column with
+    Blind::default()=1 and hashes the commitment, writing instance evals and
+    opening instance polynomials in the multiopen.
     """
     domain: EvaluationDomain = pk.vk.domain
     spec = domain.spec
@@ -362,19 +369,24 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
     bf = cs.blinding_factors()
     usable = n - (bf + 1)
 
-    # --- instances -------------------------------------------------------
+    # --- instances (prover.rs:79-132) --------------------------------------
     instance_singles = []
     for inst in instances:
         values, polys = [], []
         for col_values in inst:
             if len(col_values) > usable:
                 raise InstanceTooLarge()
-            for v in col_values:
-                transcript.common_scalar(v % p)
+            if not query_instance:
+                for v in col_values:
+                    transcript.common_scalar(v % p)
             padded = list(col_values) + [0] * (n - len(col_values))
             lagr = Poly(limb.from_ints(spec, padded), LAGRANGE)
             values.append(lagr.values)
             polys.append(domain.lagrange_to_coeff(lagr))
+        if query_instance:
+            for vals in values:
+                cpt = params.commit_lagrange(Poly(vals, LAGRANGE), 1)  # Blind::default()
+                transcript.common_point(to_affine_ints(params.curve, cpt)[0])
         instance_singles.append({"values": values, "polys": polys})
 
     # --- phase loop: witness synthesis + advice commitments ----------------
@@ -383,6 +395,7 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
         [limb.zeros((n,)) for _ in range(cs.num_advice_columns)]
         for _ in range(num_circuits)
     ]
+    advice_blinds = [[1] * cs.num_advice_columns for _ in range(num_circuits)]
     challenges: Dict[int, int] = {}
     # the frontend circuit was configured against an un-optimized cs; re-run
     # configure to obtain a config bound to a fresh cs with virtual selectors
@@ -409,8 +422,11 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
                 vals = _set_rows(vals, usable, blind_rows)
                 advice_values[c_idx][col_idx] = vals
             blinds = [rng() for _ in col_indices]
-            for col_idx in col_indices:
-                _write_commitment(params, transcript, advice_values[c_idx][col_idx])
+            for blind, col_idx in zip(blinds, col_indices):
+                advice_blinds[c_idx][col_idx] = blind
+                _write_commitment(
+                    params, transcript, advice_values[c_idx][col_idx], blind
+                )
         for index, ch_phase in enumerate(cs.challenge_phase):
             if ch_phase == phase:
                 challenges[index] = transcript.squeeze_challenge()
@@ -458,8 +474,8 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
     # --- vanishing random poly --------------------------------------------
     random_vals = [rng() for _ in range(n)]
     random_poly = Poly(limb.from_ints(spec, random_vals), COEFF)
-    _ = rng()  # random blind
-    rp_commit = params.commit(random_poly)
+    random_blind = rng()
+    rp_commit = params.commit(random_poly, random_blind)
     transcript.write_point(to_affine_ints(params.curve, rp_commit)[0])
 
     # --- y; h(X) -----------------------------------------------------------
@@ -492,8 +508,8 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
         Poly(h_coeffs[:, i * n : (i + 1) * n], COEFF) for i in range(qd)
     ]
     h_blinds = [rng() for _ in h_pieces]
-    for piece in h_pieces:
-        cpt = params.commit(piece)
+    for piece, h_blind in zip(h_pieces, h_blinds):
+        cpt = params.commit(piece, h_blind)
         transcript.write_point(to_affine_ints(params.curve, cpt)[0])
 
     # --- x; evaluations -----------------------------------------------------
@@ -504,6 +520,15 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
         return limb.to_ints(
             spec, arith.eval_polynomial(spec, poly.values, point)
         )[0]
+
+    if query_instance:
+        # prover.rs:521-545: write instance evals at rotated points
+        for c_idx in range(num_circuits):
+            for column, at in cs.instance_queries:
+                ev = dev_eval(
+                    instance_polys[c_idx][column.index], domain.rotate_omega(x, at)
+                )
+                transcript.write_scalar(ev)
 
     for c_idx in range(num_circuits):
         for column, at in cs.advice_queries:
@@ -527,6 +552,9 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
             )
             h_folded = limb.fadd(spec, limb.fmul(spec, h_folded, xnb), piece.values)
     h_poly_final = Poly(h_folded, COEFF)
+    h_blind_final = 0
+    for hb in reversed(h_blinds):
+        h_blind_final = (h_blind_final * xn + hb) % p
     transcript.write_scalar(dev_eval(random_poly, x))
 
     # pk.permutation.evaluate: sigma evals
@@ -556,28 +584,45 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
     # --- assemble multiopen queries (prover.rs:599-645) ----------------------
     queries: List[ProverQuery] = []
     for c_idx in range(num_circuits):
+        if query_instance:
+            for column, at in cs.instance_queries:
+                queries.append(
+                    ProverQuery(
+                        domain.rotate_omega(x, at),
+                        instance_polys[c_idx][column.index],
+                        1,  # Blind::default()
+                    )
+                )
         for column, at in cs.advice_queries:
             queries.append(
-                ProverQuery(domain.rotate_omega(x, at), advice_polys[c_idx][column.index])
+                ProverQuery(
+                    domain.rotate_omega(x, at),
+                    advice_polys[c_idx][column.index],
+                    advice_blinds[c_idx][column.index],
+                )
             )
         committed = permutations[c_idx]
         for pset in committed.sets:
-            queries.append(ProverQuery(x, pset.product_poly))
-            queries.append(ProverQuery(x_next, pset.product_poly))
+            queries.append(ProverQuery(x, pset.product_poly, pset.product_blind))
+            queries.append(ProverQuery(x_next, pset.product_poly, pset.product_blind))
         for pset in list(reversed(committed.sets))[1:]:
-            queries.append(ProverQuery(x_last, pset.product_poly))
+            queries.append(ProverQuery(x_last, pset.product_poly, pset.product_blind))
         for lk in lookups_committed[c_idx]:
-            queries.append(ProverQuery(x, lk.product_poly))
-            queries.append(ProverQuery(x, lk.permuted_input_poly))
-            queries.append(ProverQuery(x, lk.permuted_table_poly))
-            queries.append(ProverQuery(x_inv, lk.permuted_input_poly))
-            queries.append(ProverQuery(x_next, lk.product_poly))
+            queries.append(ProverQuery(x, lk.product_poly, lk.product_blind))
+            queries.append(ProverQuery(x, lk.permuted_input_poly, lk.permuted_input_blind))
+            queries.append(ProverQuery(x, lk.permuted_table_poly, lk.permuted_table_blind))
+            queries.append(ProverQuery(x_inv, lk.permuted_input_poly, lk.permuted_input_blind))
+            queries.append(ProverQuery(x_next, lk.product_poly, lk.product_blind))
     for column, at in cs.fixed_queries:
-        queries.append(ProverQuery(domain.rotate_omega(x, at), pk.fixed_polys[column.index]))
+        queries.append(
+            ProverQuery(
+                domain.rotate_omega(x, at), pk.fixed_polys[column.index], 1
+            )
+        )
     for poly in pk.permutation.polys:
-        queries.append(ProverQuery(x, poly))
-    queries.append(ProverQuery(x, h_poly_final))
-    queries.append(ProverQuery(x, random_poly))
+        queries.append(ProverQuery(x, poly, 1))
+    queries.append(ProverQuery(x, h_poly_final, h_blind_final))
+    queries.append(ProverQuery(x, random_poly, random_blind))
 
     multiopen(params, rng, transcript, queries)
     return transcript.finalize()

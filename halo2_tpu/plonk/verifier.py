@@ -13,6 +13,36 @@ from typing import List
 
 from ..plonk.error import InvalidInstances
 from ..poly.multiopen_gwc import DualMSM, VerifierQuery
+
+
+class KZGSingleStrategy:
+    """kzg/strategy.rs SingleStrategy: run the multiopen verifier on a fresh
+    DualMSM and decide immediately via the pairing check."""
+
+    def __init__(self, params):
+        self.params = params
+
+    def process(self, f) -> bool:
+        guard = f(DualMSM(self.params))
+        return guard.check()
+
+
+class KZGAccumulatorStrategy:
+    """kzg/strategy.rs AccumulatorStrategy: accumulate many proofs into one
+    DualMSM with random scaling; a single pairing check at finalize()."""
+
+    def __init__(self, params, rng):
+        self.params = params
+        self.rng = rng
+        self.msm = DualMSM(params)
+
+    def process(self, f) -> "KZGAccumulatorStrategy":
+        self.msm.scale(self.rng())
+        self.msm = f(self.msm)
+        return self
+
+    def finalize(self) -> bool:
+        return self.msm.check()
 from ..poly.polynomial import Rotation
 from .keygen import VerifyingKey
 
@@ -34,11 +64,18 @@ def _eval_expression(expr, p, fixed_evals, advice_evals, instance_evals, challen
     )
 
 
-def verify_proof(params, vk: VerifyingKey, instances, transcript, multiopen_verify):
+def verify_proof(params, vk: VerifyingKey, instances, transcript, multiopen_verify,
+                 query_instance: bool = False, strategy=None):
     """instances: list (per proof) of list (per instance column) of int lists.
 
-    multiopen_verify(params, transcript, queries, msm) -> guard DualMSM.
-    Returns True iff the proof verifies (SingleStrategy semantics).
+    multiopen_verify(params, transcript, queries, msm) -> scheme guard.
+    ``query_instance`` selects the scheme's instance handling
+    (verifier.rs:48-91,170-215): False (KZG) hashes values as common scalars
+    and recomputes instance evals barycentrically; True (IPA) commits the
+    instance columns, hashes the commitments, and reads instance evals from
+    the proof.  ``strategy`` is an object with ``process(f)`` (Single
+    strategies by default); for KZG f receives a DualMSM, for IPA an MSMIPA.
+    Returns True iff the proof verifies.
     """
     cs = vk.cs
     domain = vk.domain
@@ -51,12 +88,38 @@ def verify_proof(params, vk: VerifyingKey, instances, transcript, multiopen_veri
             raise InvalidInstances()
     num_proofs = len(instances)
 
+    instance_commitments = None
+    if query_instance:
+        from ..curves.point import to_affine_ints
+        from ..fields import limb
+        from ..plonk.error import InstanceTooLarge
+        from ..poly.polynomial import LAGRANGE, Poly
+
+        usable = n - (cs.blinding_factors() + 1)
+        instance_commitments = []
+        for inst in instances:
+            comms = []
+            for col in inst:
+                if len(col) > usable:
+                    raise InstanceTooLarge()
+                padded = [v % p for v in col] + [0] * (n - len(col))
+                lagr = Poly(limb.from_ints(spec, padded), LAGRANGE)
+                comms.append(
+                    to_affine_ints(params.curve, params.commit_lagrange(lagr, 1))[0]
+                )
+            instance_commitments.append(comms)
+
     vk.hash_into(transcript)
 
-    for inst in instances:
-        for col in inst:
-            for value in col:
-                transcript.common_scalar(value % p)
+    if query_instance:
+        for comms in instance_commitments:
+            for commitment in comms:
+                transcript.common_point(commitment)
+    else:
+        for inst in instances:
+            for col in inst:
+                for value in col:
+                    transcript.common_scalar(value % p)
 
     # advice commitments + phase challenges
     advice_commitments = [[None] * cs.num_advice_columns for _ in range(num_proofs)]
@@ -115,28 +178,35 @@ def verify_proof(params, vk: VerifyingKey, instances, transcript, multiopen_veri
     x = transcript.squeeze_challenge()
     xn = pow(x, n, p)
 
-    # instance evals via barycentric inner product (verifier.rs:170-215)
-    min_rot, max_rot = 0, 0
-    for _, rot in cs.instance_queries:
-        min_rot = min(min_rot, rot.i)
-        max_rot = max(max_rot, rot.i)
-    max_instance_len = max(
-        (len(col) for inst in instances for col in inst), default=0
-    )
-    l_i_s = domain.l_i_range(
-        x, xn, range(-max_rot, max_instance_len + abs(min_rot))
-    )
-    instance_evals = []
-    for inst in instances:
-        evals = []
-        for column, rot in cs.instance_queries:
-            col = inst[column.index]
-            offset = max_rot - rot.i
-            acc = 0
-            for v, li in zip(col, l_i_s[offset : offset + len(col)]):
-                acc = (acc + v * li) % p
-            evals.append(acc)
-        instance_evals.append(evals)
+    if query_instance:
+        # instance evals are read from the proof (verifier.rs:170-176)
+        instance_evals = [
+            [transcript.read_scalar() for _ in cs.instance_queries]
+            for _ in range(num_proofs)
+        ]
+    else:
+        # barycentric inner product (verifier.rs:177-215)
+        min_rot, max_rot = 0, 0
+        for _, rot in cs.instance_queries:
+            min_rot = min(min_rot, rot.i)
+            max_rot = max(max_rot, rot.i)
+        max_instance_len = max(
+            (len(col) for inst in instances for col in inst), default=0
+        )
+        l_i_s = domain.l_i_range(
+            x, xn, range(-max_rot, max_instance_len + abs(min_rot))
+        )
+        instance_evals = []
+        for inst in instances:
+            evals = []
+            for column, rot in cs.instance_queries:
+                col = inst[column.index]
+                offset = max_rot - rot.i
+                acc = 0
+                for v, li in zip(col, l_i_s[offset : offset + len(col)]):
+                    acc = (acc + v * li) % p
+                evals.append(acc)
+            instance_evals.append(evals)
 
     advice_evals = [
         [transcript.read_scalar() for _ in cs.advice_queries]
@@ -280,9 +350,7 @@ def verify_proof(params, vk: VerifyingKey, instances, transcript, multiopen_veri
     expected_h_eval = expected_h_eval * pow(xn - 1, -1, p) % p
 
     # folded h commitment as an MSM (vanishing/verifier.rs:90-107)
-    from ..poly.multiopen_gwc import HostMSM
-
-    h_msm = HostMSM(params.curve)
+    h_msm = params.empty_msm()
     for commitment in reversed(h_commitments):
         h_msm.scale(xn)
         h_msm.append_term(1, commitment)
@@ -294,6 +362,15 @@ def verify_proof(params, vk: VerifyingKey, instances, transcript, multiopen_veri
 
     queries: List[VerifierQuery] = []
     for pr in range(num_proofs):
+        if query_instance:
+            for qidx, (column, at) in enumerate(cs.instance_queries):
+                queries.append(
+                    VerifierQuery(
+                        instance_commitments[pr][column.index],
+                        domain.rotate_omega(x, at),
+                        instance_evals[pr][qidx],
+                    )
+                )
         for qidx, (column, at) in enumerate(cs.advice_queries):
             queries.append(
                 VerifierQuery(
@@ -336,6 +413,8 @@ def verify_proof(params, vk: VerifyingKey, instances, transcript, multiopen_veri
     queries.append(VerifierQuery(h_msm, x, expected_h_eval))
     queries.append(VerifierQuery(random_poly_commitment, x, random_eval))
 
-    msm = DualMSM(params)
-    guard = multiopen_verify(params, transcript, queries, msm)
-    return guard.check()
+    if strategy is None:
+        strategy = KZGSingleStrategy(params)
+    return strategy.process(
+        lambda msm: multiopen_verify(params, transcript, queries, msm)
+    )

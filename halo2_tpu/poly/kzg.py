@@ -86,15 +86,21 @@ class ParamsKZG:
         return cls(k, g, g_lagrange, g2, s_g2, s=s)
 
     # ------------------------------------------------------------------
-    def commit_lagrange(self, poly: Poly, blind_mont=None) -> Point:
-        """MSM over the Lagrange SRS (+ blind * g[n-1]... the reference adds the
-        blind via an extra base; blinds are folded by callers here)."""
+    def commit_lagrange(self, poly: Poly, blind: int = 0) -> Point:
+        """MSM over the Lagrange SRS.  KZG ignores the blinding factor
+        (kzg/commitment.rs:281-292 takes Blind and drops it); the parameter
+        exists so the prover is scheme-generic with IPA."""
         assert poly.basis == LAGRANGE
         return msm(self.curve, poly.values, self.g_lagrange)
 
-    def commit(self, poly: Poly) -> Point:
+    def commit(self, poly: Poly, blind: int = 0) -> Point:
         assert poly.basis == COEFF
         return msm(self.curve, poly.values, self.g)
+
+    def empty_msm(self):
+        from .multiopen_gwc import HostMSM
+
+        return HostMSM(self.curve)
 
     def commit_coeffs(self, coeffs: jnp.ndarray) -> Point:
         """Commit raw coefficient limbs of arbitrary length <= n."""

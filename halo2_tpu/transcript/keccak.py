@@ -1,11 +1,37 @@
-"""Pure-Python Keccak-256 (original Keccak padding 0x01, NOT NIST SHA-3).
+"""Keccak-256 (original Keccak padding 0x01, NOT NIST SHA-3).
 
 The reference uses the ``sha3`` crate's ``Keccak256`` for its EVM-compatible
 transcript (transcript.rs:241-256); Python's hashlib only ships NIST SHA-3
 (padding 0x06), so we implement keccak-f[1600] directly.  Host-side only.
+
+The permutation dispatches to the native C implementation
+(native/keccak.c -> libhalo2native.so, loaded via ctypes) when built —
+transcript hashing is the prover's host hot loop — with the pure-Python
+permutation as a portable fallback.
 """
 
 from __future__ import annotations
+
+import ctypes
+import os
+
+_NATIVE = None
+
+
+def _load_native():
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "libhalo2native.so"
+    )
+    try:
+        lib = ctypes.CDLL(os.path.abspath(path))
+        lib.keccak_f1600.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = False
+    return _NATIVE
 
 _ROUND_CONSTANTS = [
     0x0000000000000001, 0x0000000000008082, 0x800000000000808A, 0x8000000080008000,
@@ -33,6 +59,16 @@ def _rol(v, n):
 
 
 def _keccak_f(state):
+    lib = _load_native()
+    if lib:
+        buf = (ctypes.c_uint64 * 25)(
+            *(state[x][y] for y in range(5) for x in range(5))
+        )
+        lib.keccak_f1600(buf)
+        for y in range(5):
+            for x in range(5):
+                state[x][y] = buf[x + 5 * y]
+        return state
     for rc in _ROUND_CONSTANTS:
         # theta
         c = [state[x][0] ^ state[x][1] ^ state[x][2] ^ state[x][3] ^ state[x][4] for x in range(5)]

@@ -113,6 +113,10 @@ def mont_mul_pallas(
 
 
 def backend_is_tpu() -> bool:
+    import os
+
+    if os.environ.get("HALO2_TPU_NO_PALLAS"):
+        return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover

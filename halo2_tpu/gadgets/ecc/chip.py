@@ -1,0 +1,283 @@
+"""ECC chip: witness point, incomplete add, complete add (Pallas).
+
+The identity is represented as (0, 0) in affine coordinates — sound because
+x = 0 has no curve solutions for y^2 = x^3 + 5 over the Pallas base field.
+Witness values are canonical ints; inv0(x) = 0 when x = 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from ...circuit.layouter import AssignedCell, Layouter, Region
+from ...circuit.value import Value
+from ...plonk.circuit import Column, Constant, ConstraintSystem, Selector
+from ...poly.polynomial import Rotation
+from ...curves.spec import PALLAS
+
+
+@dataclasses.dataclass
+class EccPoint:
+    """An affine point in advice cells; identity = (0, 0)."""
+
+    x: AssignedCell
+    y: AssignedCell
+
+    def value(self):
+        """Host affine tuple or None for identity (when witnessed)."""
+        if self.x.value.is_none() or self.y.value.is_none():
+            return Value.unknown()
+        xv, yv = self.x.value.value(), self.y.value.value()
+        return Value.known(None if (xv == 0 and yv == 0) else (xv, yv))
+
+
+@dataclasses.dataclass
+class EccConfig:
+    # witness point
+    q_point: Selector
+    q_point_non_id: Selector
+    # shared coordinate columns
+    x_p: Column
+    y_p: Column
+    x_qr: Column
+    y_qr: Column
+    # complete-add auxiliaries
+    q_add: Selector
+    q_add_incomplete: Selector
+    lam: Column
+    alpha: Column
+    beta: Column
+    gamma: Column
+    delta: Column
+
+
+def _inv0(v: int, p: int) -> int:
+    return 0 if v % p == 0 else pow(v, -1, p)
+
+
+class EccChip:
+    curve = PALLAS
+
+    def __init__(self, config: EccConfig):
+        self.config = config
+
+    @classmethod
+    def configure(cls, meta: ConstraintSystem, advices) -> EccConfig:
+        """advices: >= 9 advice columns."""
+        b = cls.curve.b
+        x_p, y_p, x_qr, y_qr, lam, alpha, beta, gamma, delta = advices[:9]
+        for col in (x_p, y_p, x_qr, y_qr):
+            meta.enable_equality(col)
+
+        config = EccConfig(
+            q_point=meta.selector(),
+            q_point_non_id=meta.selector(),
+            x_p=x_p,
+            y_p=y_p,
+            x_qr=x_qr,
+            y_qr=y_qr,
+            q_add=meta.selector(),
+            q_add_incomplete=meta.selector(),
+            lam=lam,
+            alpha=alpha,
+            beta=beta,
+            gamma=gamma,
+            delta=delta,
+        )
+
+        def curve_eqn(cells):
+            x = cells.query_advice(x_p, Rotation.cur())
+            y = cells.query_advice(y_p, Rotation.cur())
+            return y * y - (x * x * x) - Constant(b)
+
+        def witness_point(cells):
+            q = cells.query_selector(config.q_point)
+            x = cells.query_advice(x_p, Rotation.cur())
+            y = cells.query_advice(y_p, Rotation.cur())
+            eqn = curve_eqn(cells)
+            # identity maps to (0, 0); else on-curve (witness_point.rs:58-78)
+            return [
+                ("x == 0 v on_curve", q * x * eqn),
+                ("y == 0 v on_curve", q * y * eqn),
+            ]
+
+        meta.create_gate("witness point", witness_point)
+
+        def witness_non_id(cells):
+            q = cells.query_selector(config.q_point_non_id)
+            return [("on_curve", q * curve_eqn(cells))]
+
+        meta.create_gate("witness non-identity point", witness_non_id)
+
+        def add_incomplete(cells):
+            q = cells.query_selector(config.q_add_incomplete)
+            xp = cells.query_advice(x_p, Rotation.cur())
+            yp = cells.query_advice(y_p, Rotation.cur())
+            xq = cells.query_advice(x_qr, Rotation.cur())
+            yq = cells.query_advice(y_qr, Rotation.cur())
+            xr = cells.query_advice(x_qr, Rotation.next())
+            yr = cells.query_advice(y_qr, Rotation.next())
+            poly1 = (xr + xq + xp) * (xp - xq) * (xp - xq) - (yp - yq) * (yp - yq)
+            poly2 = (yr + yq) * (xp - xq) - (yp - yq) * (xq - xr)
+            return [("x_r", q * poly1), ("y_r", q * poly2)]
+
+        meta.create_gate("incomplete addition", add_incomplete)
+
+        def add_complete(cells):
+            q = cells.query_selector(config.q_add)
+            xp = cells.query_advice(x_p, Rotation.cur())
+            yp = cells.query_advice(y_p, Rotation.cur())
+            xq = cells.query_advice(x_qr, Rotation.cur())
+            yq = cells.query_advice(y_qr, Rotation.cur())
+            xr = cells.query_advice(x_qr, Rotation.next())
+            yr = cells.query_advice(y_qr, Rotation.next())
+            lmb = cells.query_advice(lam, Rotation.cur())
+            a = cells.query_advice(alpha, Rotation.cur())
+            bt = cells.query_advice(beta, Rotation.cur())
+            g = cells.query_advice(gamma, Rotation.cur())
+            d = cells.query_advice(delta, Rotation.cur())
+
+            xq_m_xp = xq - xp
+            xp_m_xr = xp - xr
+            yq_p_yp = yq + yp
+            if_alpha = xq_m_xp * a
+            if_beta = xp * bt
+            if_gamma = xq * g
+            if_delta = yq_p_yp * d
+            one = Constant(1)
+
+            poly1 = xq_m_xp * (xq_m_xp * lmb - (yq - yp))
+            poly2 = (one - if_alpha) * (yp * 2 * lmb - xp * xp * 3)
+            nonex_xr = lmb * lmb - xp - xq - xr
+            nonex_yr = lmb * xp_m_xr - yp - yr
+            poly3a = xp * xq * xq_m_xp * nonex_xr
+            poly3b = xp * xq * xq_m_xp * nonex_yr
+            poly3c = xp * xq * yq_p_yp * nonex_xr
+            poly3d = xp * xq * yq_p_yp * nonex_yr
+            poly4a = (one - if_beta) * (xr - xq)
+            poly4b = (one - if_beta) * (yr - yq)
+            poly5a = (one - if_gamma) * (xr - xp)
+            poly5b = (one - if_gamma) * (yr - yp)
+            poly6a = (one - if_alpha - if_delta) * xr
+            poly6b = (one - if_alpha - if_delta) * yr
+            return [
+                ("1", q * poly1), ("2", q * poly2),
+                ("3a", q * poly3a), ("3b", q * poly3b),
+                ("3c", q * poly3c), ("3d", q * poly3d),
+                ("4a", q * poly4a), ("4b", q * poly4b),
+                ("5a", q * poly5a), ("5b", q * poly5b),
+                ("6a", q * poly6a), ("6b", q * poly6b),
+            ]
+
+        meta.create_gate("complete addition", add_complete)
+        return config
+
+    # ------------------------------------------------------------------
+
+    def witness_point(self, layouter: Layouter, value: Value) -> EccPoint:
+        """value: Value of host affine (x, y) tuple or None for identity."""
+        config = self.config
+
+        def do(region: Region):
+            config.q_point.enable(region, 0)
+            coords = value.map(lambda pt: (0, 0) if pt is None else pt)
+            x = region.assign_advice(config.x_p, 0, lambda: coords.map(lambda c: c[0]))
+            y = region.assign_advice(config.y_p, 0, lambda: coords.map(lambda c: c[1]))
+            return EccPoint(x, y)
+
+        return layouter.namespace("witness point").assign_region("witness point", do)
+
+    def witness_point_non_id(self, layouter: Layouter, value: Value) -> EccPoint:
+        config = self.config
+
+        def do(region: Region):
+            config.q_point_non_id.enable(region, 0)
+            x = region.assign_advice(config.x_p, 0, lambda: value.map(lambda c: c[0]))
+            y = region.assign_advice(config.y_p, 0, lambda: value.map(lambda c: c[1]))
+            return EccPoint(x, y)
+
+        return layouter.namespace("witness non-id point").assign_region(
+            "witness non-id point", do
+        )
+
+    def add_incomplete(self, layouter: Layouter, p: EccPoint, q: EccPoint) -> EccPoint:
+        config = self.config
+        fp = self.curve.base.p
+
+        def do(region: Region):
+            config.q_add_incomplete.enable(region, 0)
+            p.x.copy_advice(region, config.x_p, 0)
+            p.y.copy_advice(region, config.y_p, 0)
+            q.x.copy_advice(region, config.x_qr, 0)
+            q.y.copy_advice(region, config.y_qr, 0)
+
+            def compute(vals):
+                (xp, yp), (xq, yq) = vals
+                assert not (xp == 0 and yp == 0) and not (xq == 0 and yq == 0)
+                assert xp != xq, "incomplete addition exceptional case"
+                lam = (yq - yp) * _inv0(xq - xp, fp) % fp
+                xr = (lam * lam - xp - xq) % fp
+                yr = (lam * (xp - xr) - yp) % fp
+                return (xr, yr)
+
+            r = p.x.value.zip(p.y.value).zip(q.x.value.zip(q.y.value)).map(compute)
+            x_r = region.assign_advice(config.x_qr, 1, lambda: r.map(lambda t: t[0]))
+            y_r = region.assign_advice(config.y_qr, 1, lambda: r.map(lambda t: t[1]))
+            return EccPoint(x_r, y_r)
+
+        return layouter.namespace("incomplete add").assign_region("incomplete add", do)
+
+    def add(self, layouter: Layouter, p: EccPoint, q: EccPoint) -> EccPoint:
+        """Complete addition (add.rs assign_region)."""
+        config = self.config
+        fp = self.curve.base.p
+
+        def do(region: Region):
+            config.q_add.enable(region, 0)
+            p.x.copy_advice(region, config.x_p, 0)
+            p.y.copy_advice(region, config.y_p, 0)
+            q.x.copy_advice(region, config.x_qr, 0)
+            q.y.copy_advice(region, config.y_qr, 0)
+
+            vals = p.x.value.zip(p.y.value).zip(q.x.value.zip(q.y.value))
+
+            def aux(v):
+                (xp, yp), (xq, yq) = v
+                alpha = _inv0(xq - xp, fp)
+                beta = _inv0(xp, fp)
+                gamma = _inv0(xq, fp)
+                delta = _inv0(yq + yp, fp) if xq % fp == xp % fp else 0
+                if xq % fp != xp % fp:
+                    lam = (yq - yp) * _inv0(xq - xp, fp) % fp
+                elif yp % fp != 0:
+                    lam = 3 * xp * xp % fp * _inv0(2 * yp, fp) % fp
+                else:
+                    lam = 0
+                # result with identity handling
+                if xp % fp == 0 and yp % fp == 0:
+                    xr, yr = xq % fp, yq % fp
+                elif xq % fp == 0 and yq % fp == 0:
+                    xr, yr = xp % fp, yp % fp
+                elif xq % fp == xp % fp and (yq + yp) % fp == 0:
+                    xr, yr = 0, 0
+                else:
+                    xr = (lam * lam - xp - xq) % fp
+                    yr = (lam * (xp - xr) - yp) % fp
+                return alpha, beta, gamma, delta, lam % fp, xr, yr
+
+            computed = vals.map(aux)
+            region.assign_advice(config.alpha, 0, lambda: computed.map(lambda t: t[0]))
+            region.assign_advice(config.beta, 0, lambda: computed.map(lambda t: t[1]))
+            region.assign_advice(config.gamma, 0, lambda: computed.map(lambda t: t[2]))
+            region.assign_advice(config.delta, 0, lambda: computed.map(lambda t: t[3]))
+            region.assign_advice(config.lam, 0, lambda: computed.map(lambda t: t[4]))
+            x_r = region.assign_advice(
+                config.x_qr, 1, lambda: computed.map(lambda t: t[5])
+            )
+            y_r = region.assign_advice(
+                config.y_qr, 1, lambda: computed.map(lambda t: t[6])
+            )
+            return EccPoint(x_r, y_r)
+
+        return layouter.namespace("complete add").assign_region("complete add", do)

@@ -1,0 +1,72 @@
+"""ECC chip tests: witness/add vs host Pallas arithmetic (MockProver)."""
+
+import pytest
+
+from halo2_tpu.circuit import Circuit, Value
+from halo2_tpu.curves import PALLAS, host
+from halo2_tpu.dev.mock_prover import MockProver
+from halo2_tpu.fields.spec import PASTA_FP
+from halo2_tpu.gadgets.ecc import EccChip
+
+G = host.generator(PALLAS)
+G2 = host.double(PALLAS, G)
+G3 = host.add(PALLAS, G2, G)
+
+
+class AddCircuit(Circuit):
+    def __init__(self, p, q, expected, complete=True):
+        self.p, self.q, self.expected, self.complete = p, q, expected, complete
+
+    def without_witnesses(self):
+        return AddCircuit(
+            Value.unknown(), Value.unknown(), self.expected, self.complete
+        )
+
+    @classmethod
+    def configure(cls, meta):
+        advices = [meta.advice_column() for _ in range(9)]
+        return EccChip.configure(meta, advices)
+
+    def synthesize(self, config, layouter):
+        chip = EccChip(config)
+        p = chip.witness_point(layouter, self.p)
+        q = chip.witness_point(layouter, self.q)
+        if self.complete:
+            r = chip.add(layouter, p, q)
+        else:
+            r = chip.add_incomplete(layouter, p, q)
+        if not r.x.value.is_none() and self.expected is not None:
+            got = r.value().value()
+            assert got == self.expected, (got, self.expected)
+
+
+def _run(p, q, expected, complete=True):
+    # identity is witnessed as the (0, 0) sentinel (chip.py docstring)
+    p = (0, 0) if p is None else p
+    q = (0, 0) if q is None else q
+    circ = AddCircuit(Value.known(p), Value.known(q), expected, complete)
+    return MockProver.run(PASTA_FP, 5, circ, []).verify()
+
+
+def test_witness_and_incomplete_add():
+    assert _run(G, G2, G3, complete=False) == []
+
+
+def test_complete_add_distinct():
+    assert _run(G, G2, G3) == []
+
+
+def test_complete_add_doubling():
+    assert _run(G, G, G2) == []
+
+
+def test_complete_add_identity_cases():
+    assert _run(None, G, G) == []
+    assert _run(G, None, G) == []
+    assert _run(G, host.neg(PALLAS, G), None) == []  # P + (-P) = identity
+
+
+def test_witness_rejects_off_curve():
+    bad = (G[0], (G[1] + 1) % PASTA_FP.p)
+    circ = AddCircuit(Value.known(bad), Value.known(G2), None, complete=True)
+    assert MockProver.run(PASTA_FP, 5, circ, []).verify() != []

@@ -50,14 +50,18 @@ def main():
     t = 0x1D2C3B4A5968778695A4B3C2D1E0F1E2D3C4B5A69788796A5B4C3D2E1F0A1B2 % fr.p
     scalars = ntt_ops.power_table(fr, t, n)
 
+    import numpy as np
+
     run = jax.jit(lambda sc, pt: msm(curve, sc, pt))
     out = run(scalars, points)
-    jax.block_until_ready(out)  # warmup/compile
+    _ = np.asarray(out.x)  # warmup/compile + hard device->host sync
 
     start = time.perf_counter()
     for _ in range(REPS):
         out = run(scalars, points)
-    jax.block_until_ready(out)
+    # materialize to host: block_until_ready alone can be unreliable on the
+    # experimental axon platform, and a host pull cannot be reordered
+    _ = np.asarray(out.x)
     elapsed = time.perf_counter() - start
 
     rate = n * REPS / elapsed

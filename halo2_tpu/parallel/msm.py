@@ -56,10 +56,13 @@ def sharded_msm(spec: CurveSpec, scalars_mont, points: Point, mesh, c: int = 0) 
         return Point(acc.x[:, 0], acc.y[:, 0], acc.z[:, 0])
 
     shard = P(None, SHARD_AXIS)
+    # check_vma=False: the tree reduction over all-gathered partials IS
+    # replicated, but shard_map cannot statically infer that
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(shard, Point(shard, shard, shard)),
         out_specs=Point(P(None), P(None), P(None)),
+        check_vma=False,
     )
     return fn(scalars_mont, points)

@@ -14,6 +14,10 @@ import time
 
 import jax
 
+from halo2_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 CPU_BASELINE_PTS_PER_SEC = 1.0e6  # see BASELINE.md
 K = 16
 REPS = 5

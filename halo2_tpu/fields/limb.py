@@ -212,42 +212,68 @@ def fmul(spec: FieldSpec, a, b):
             spec, a.reshape(NLIMBS, -1), b.reshape(NLIMBS, -1)
         )
         return out.reshape((NLIMBS,) + batch)
-    # Schoolbook product into 32 lazily-carried columns.  Each 16x16 product is
-    # exact in uint32; we split into lo/hi halves so column accumulators stay
-    # far below 2^32 (<= 32 terms of < 2^16 each plus REDC contributions).
-    # Column sums are computed with 16 shifted adds over whole (31, ...) arrays
-    # (anti-diagonal accumulation) so the compiled graph stays small and dense.
-    prods = a[:, None] * b[None, :]  # (16, 16, ...)
+    # Coarse (SOS) Montgomery reduction, sized for small compiled graphs:
+    #   T = a*b                (one big product, columns via two gathers)
+    #   m = (T mod R) * n' mod R   (n' = -p^{-1} mod R; one low product)
+    #   result = (T + m*p) / R     (one full product + carry chain)
+    # ~270 HLO ops vs ~700 for word-by-word REDC; all column accumulators stay
+    # lazily-carried uint32 (<= 32 terms of < 2^16 each).
+    t = _product_columns(a, b)  # 32 lazy columns of T = a*b
+
+    # m = (T mod R) * n' mod R: normalize the low half first so the next
+    # product's operands are true 16-bit digits.
+    t_lo, _ = _carry_propagate(t[:NLIMBS])
+    nprime = jnp.asarray(spec.nprime_limbs).reshape(
+        (NLIMBS,) + (1,) * (a.ndim - 1)
+    )
+    m_cols = _product_columns_low(_stack(t_lo), jnp.broadcast_to(nprime, a.shape))
+    m, _ = _carry_propagate(m_cols)  # 16 digits of m (carry out of R dropped)
+
+    # U = m * p; S = T + U is divisible by R, result = S / R < 2p.
+    p_arr = jnp.asarray(spec.p_limbs).reshape((NLIMBS,) + (1,) * (a.ndim - 1))
+    u = _product_columns(_stack(m), jnp.broadcast_to(p_arr, a.shape))
+    s = [x + y for x, y in zip(t, u)]
+    carry = _u(0)
+    for i in range(NLIMBS):  # low half: digits are zero, keep the carry
+        carry = (s[i] + carry) >> LIMB_BITS
+    s[NLIMBS] = s[NLIMBS] + carry
+    hi, _ = _carry_propagate(s[NLIMBS:])
+    return _stack(_cond_sub_p(spec, hi))
+
+
+@functools.lru_cache(maxsize=None)
+def _anti_diagonal_indices(ncols: int, shift: int) -> np.ndarray:
+    """(16, ncols) gather map: entry [i, c] = (c - i - shift) mod 32, pointing
+    into a (16, 32) array whose upper half [.., 16:] is zeros — out-of-range
+    anti-diagonal terms land there."""
+    i = np.arange(NLIMBS)[:, None]
+    c = np.arange(ncols)[None, :]
+    return ((c - i - shift) % (2 * NLIMBS)).astype(np.int32)
+
+
+def _columns_from_prods(prods, ncols: int):
+    """prods: (16, 16, ...) uint32 limb products -> list of ncols lazy column
+    sums of the double-width number (lo parts at i+j, hi parts at i+j+1)."""
     lo = prods & _MASK
     hi = prods >> LIMB_BITS
-    batch_pad = ((0, 0),) * (a.ndim - 1)
-    cols = None
-    for i in range(NLIMBS):
-        # lo[i, j] lands in column i+j; hi[i, j] in column i+j+1 (both < 32)
-        row = jnp.pad(lo[i], ((i, NLIMBS - i),) + batch_pad)  # (32, ...)
-        rowh = jnp.pad(hi[i], ((i + 1, NLIMBS - 1 - i),) + batch_pad)
-        contrib = row + rowh
-        cols = contrib if cols is None else cols + contrib
-    t = [cols[k] for k in range(2 * NLIMBS)]
+    z = jnp.zeros_like(lo)
+    zlo = jnp.concatenate([lo, z], axis=1)  # (16, 32, ...)
+    zhi = jnp.concatenate([hi, z], axis=1)
+    rows = np.arange(NLIMBS)[:, None]
+    glo = zlo[rows, _anti_diagonal_indices(ncols, 0)]  # (16, ncols, ...)
+    ghi = zhi[rows, _anti_diagonal_indices(ncols, 1)]
+    cols = glo.sum(axis=0) + ghi.sum(axis=0)  # (ncols, ...)
+    return [cols[k] for k in range(ncols)]
 
-    # Word-by-word REDC with the same lazy-carry discipline.
-    n0 = np.uint32(spec.n0)
-    p_digits = [np.uint32(x) for x in spec.p_limbs]
-    for i in range(NLIMBS):
-        m = (t[i] * n0) & _MASK
-        # j = 0 cancels the low digit; push its carry up explicitly.
-        prod0 = m * p_digits[0]
-        low = t[i] + (prod0 & _MASK)
-        t[i + 1] = t[i + 1] + (low >> LIMB_BITS) + (prod0 >> LIMB_BITS)
-        for j in range(1, NLIMBS):
-            prod = m * p_digits[j]
-            t[i + j] = t[i + j] + (prod & _MASK)
-            t[i + j + 1] = t[i + j + 1] + (prod >> LIMB_BITS)
 
-    # The low 16 digits are == 0 mod 2^16 and their carries were pushed upward;
-    # the result lives in t[16..32).  It is < 2p < 2^255, so no carry escapes.
-    hi, _ = _carry_propagate(t[NLIMBS:])
-    return _stack(_cond_sub_p(spec, hi))
+def _product_columns(a, b):
+    """Full 32-column lazy product of two (16, ...) limb arrays."""
+    return _columns_from_prods(a[:, None] * b[None, :], 2 * NLIMBS)
+
+
+def _product_columns_low(a, b):
+    """Low 16 columns of the product (the mod-2^256 part)."""
+    return _columns_from_prods(a[:, None] * b[None, :], NLIMBS)
 
 
 def fsquare(spec: FieldSpec, a):

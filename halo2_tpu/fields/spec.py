@@ -120,6 +120,11 @@ class FieldSpec:
         return int_to_limbs(self.r2)
 
     @functools.cached_property
+    def nprime_limbs(self) -> np.ndarray:
+        """-p^{-1} mod 2^256 (full-width Montgomery factor for coarse REDC)."""
+        return int_to_limbs((-pow(self.p, -1, 1 << R_BITS)) % (1 << R_BITS))
+
+    @functools.cached_property
     def zero_limbs(self) -> np.ndarray:
         return np.zeros((NLIMBS,), dtype=np.uint32)
 

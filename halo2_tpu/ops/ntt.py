@@ -53,28 +53,55 @@ def power_table(spec: FieldSpec, base: int, n: int) -> jnp.ndarray:
     return table[:, :n]
 
 
+def _stage_indices(k: int, s, n: int):
+    """Gather indices for DIT stage ``s`` (1-based, traced int32).
+
+    Returns (lo_pos, hi_pos, tw_idx, out_src, out_is_hi): positions of the
+    butterfly pair and twiddle for each of the n/2 butterflies, plus the
+    re-assembly map sending butterfly results back to natural positions.
+    """
+    half_idx = jnp.arange(n // 2, dtype=jnp.int32)
+    full_idx = jnp.arange(n, dtype=jnp.int32)
+    sm1 = s - 1
+    h = jnp.int32(1) << sm1
+    off = half_idx & (h - 1)
+    lo_pos = ((half_idx >> sm1) << s) | off
+    hi_pos = lo_pos | h
+    tw_idx = off << (jnp.int32(k) - s)
+    out_src = ((full_idx >> s) << sm1) | (full_idx & (h - 1))
+    out_is_hi = (full_idx & h) != 0
+    return lo_pos, hi_pos, tw_idx, out_src, out_is_hi
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def ntt(spec: FieldSpec, a: jnp.ndarray, twiddles: jnp.ndarray, k: int) -> jnp.ndarray:
     """DFT of a (16, 2^k) limb array.
 
     ``twiddles`` is the (16, 2^(k-1)) table of powers of the domain generator
     (from :func:`power_table` with base=omega).
+
+    The k butterfly stages run under one ``fori_loop`` whose body is traced
+    once — per-stage data movement is expressed as gathers with indices
+    computed from the (traced) stage number, so the compiled graph holds a
+    single Montgomery multiply instead of k of them.  XLA compile time of the
+    reference-style fully-unrolled network was ~10s/stage on small hosts.
     """
     n = 1 << k
     assert a.shape == (NLIMBS, n)
+    if k == 0:
+        return a
     a = a[:, _bitrev_indices(k)]
-    for s in range(1, k + 1):
-        half = 1 << (s - 1)
-        stride = 1 << (k - s)
-        tw = twiddles[:, ::stride][:, :half]  # (16, half)
-        x = a.reshape(NLIMBS, n // (2 * half), 2, half)
-        lo = x[:, :, 0, :]
-        hi = x[:, :, 1, :]
-        t = limb.fmul(spec, hi, jnp.broadcast_to(tw[:, None, :], hi.shape))
-        out0 = limb.fadd(spec, lo, t)
-        out1 = limb.fsub(spec, lo, t)
-        a = jnp.stack([out0, out1], axis=2).reshape(NLIMBS, n)
-    return a
+
+    def stage(s, x):
+        lo_pos, hi_pos, tw_idx, out_src, out_is_hi = _stage_indices(k, s, n)
+        u = x[:, lo_pos]
+        v = x[:, hi_pos]
+        t = limb.fmul(spec, v, twiddles[:, tw_idx])
+        res_lo = limb.fadd(spec, u, t)
+        res_hi = limb.fsub(spec, u, t)
+        return jnp.where(out_is_hi[None, :], res_hi[:, out_src], res_lo[:, out_src])
+
+    return jax.lax.fori_loop(1, k + 1, stage, a)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -83,27 +110,28 @@ def ntt_batched(
 ) -> jnp.ndarray:
     """DFT along the last axis of a (16, B, 2^k) limb array.
 
-    Butterfly network identical to :func:`ntt` with one extra batch axis; the
-    batch rides a second lane dimension so the compiled graph stays a dense
-    stack of whole-array VPU ops.  Used per-row by the distributed four-step
-    NTT (parallel/ntt.py) and for batched column transforms.
+    Butterfly network identical to :func:`ntt` with one extra batch axis; used
+    per-row by the distributed four-step NTT (parallel/ntt.py) and for batched
+    column transforms.
     """
     n = 1 << k
     assert a.shape[0] == NLIMBS and a.shape[-1] == n
-    b = a.shape[1]
+    if k == 0:
+        return a
     a = a[:, :, _bitrev_indices(k)]
-    for s in range(1, k + 1):
-        half = 1 << (s - 1)
-        stride = 1 << (k - s)
-        tw = twiddles[:, ::stride][:, :half]  # (16, half)
-        x = a.reshape(NLIMBS, b, n // (2 * half), 2, half)
-        lo = x[:, :, :, 0, :]
-        hi = x[:, :, :, 1, :]
-        t = limb.fmul(spec, hi, jnp.broadcast_to(tw[:, None, None, :], hi.shape))
-        out0 = limb.fadd(spec, lo, t)
-        out1 = limb.fsub(spec, lo, t)
-        a = jnp.stack([out0, out1], axis=3).reshape(NLIMBS, b, n)
-    return a
+
+    def stage(s, x):
+        lo_pos, hi_pos, tw_idx, out_src, out_is_hi = _stage_indices(k, s, n)
+        u = x[:, :, lo_pos]
+        v = x[:, :, hi_pos]
+        t = limb.fmul(spec, v, jnp.broadcast_to(twiddles[:, None, tw_idx], v.shape))
+        res_lo = limb.fadd(spec, u, t)
+        res_hi = limb.fsub(spec, u, t)
+        return jnp.where(
+            out_is_hi[None, None, :], res_hi[:, :, out_src], res_lo[:, :, out_src]
+        )
+
+    return jax.lax.fori_loop(1, k + 1, stage, a)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))

@@ -18,9 +18,9 @@ try:  # jax >= 0.4.35 exposes shard_map at top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..curves.point import Point, ec_add
+from ..curves.point import Point
 from ..curves.spec import CurveSpec
-from ..ops.msm import choose_window, msm
+from ..ops.msm import _reduce_points, choose_window, msm
 from .mesh import SHARD_AXIS
 
 
@@ -42,18 +42,8 @@ def sharded_msm(spec: CurveSpec, scalars_mont, points: Point, mesh, c: int = 0) 
         xs = jax.lax.all_gather(part.x, SHARD_AXIS)  # (D, 16)
         ys = jax.lax.all_gather(part.y, SHARD_AXIS)
         zs = jax.lax.all_gather(part.z, SHARD_AXIS)
-        # tree-reduce over the (small) device axis; replicated on every chip
-        m = ndev
-        acc = Point(xs.T, ys.T, zs.T)  # (16, D)
-        while m > 1:
-            half = m // 2
-            acc = ec_add(
-                spec,
-                Point(acc.x[:, :half], acc.y[:, :half], acc.z[:, :half]),
-                Point(acc.x[:, half : 2 * half], acc.y[:, half : 2 * half], acc.z[:, half : 2 * half]),
-            )
-            m = half
-        return Point(acc.x[:, 0], acc.y[:, 0], acc.z[:, 0])
+        # fold over the (small) device axis; replicated on every chip
+        return _reduce_points(spec, Point(xs.T, ys.T, zs.T))
 
     shard = P(None, SHARD_AXIS)
     # check_vma=False: the tree reduction over all-gathered partials IS

@@ -60,16 +60,23 @@ def _local_fourstep(spec: FieldSpec, a, w_j2, tw_inner, tw_outer, ndev: int):
     t1 = jnp.swapaxes(t1, 1, 2)  # (16, m, D)
     t2 = ntt_ops.ntt_batched(spec, t1, tw_inner, k1)  # A[:, j2loc, i1]
 
-    # (3) twiddle by w^(i1 * j2): rows of powers of the local w^j2 slice
-    rows = [None]  # i1 = 0 -> multiply by 1, skip
-    cur = w_j2
-    for _ in range(1, ndev):
-        rows.append(cur)
-        cur = limb.fmul(spec, cur, w_j2)
-    cols = [t2[:, :, 0:1]]
-    for i1 in range(1, ndev):
-        cols.append(limb.fmul(spec, t2[:, :, i1 : i1 + 1], rows[i1][:, :, None]))
-    t3 = jnp.concatenate(cols, axis=2)  # (16, m, D)
+    # (3) twiddle by w^(i1 * j2): build the (16, m, D) power tensor
+    # pw[:, :, i1] = w_j2^i1 with a fori_loop (ONE fmul instance), then a
+    # single batched multiply — the unrolled per-i1 version put 2(D-1) fmul
+    # graphs into the trace.
+    one = limb.from_int(spec, 1).reshape(NLIMBS, 1, 1)
+    pw0 = jnp.concatenate(
+        [jnp.broadcast_to(one, (NLIMBS, m, 1)), jnp.zeros((NLIMBS, m, ndev - 1), jnp.uint32)],
+        axis=2,
+    )
+
+    def pw_body(i, pw):
+        cur = jax.lax.dynamic_slice(pw, (0, 0, i), (NLIMBS, m, 1))
+        nxt = limb.fmul(spec, cur, w_j2[:, :, None])
+        return jax.lax.dynamic_update_slice(pw, nxt, (0, 0, i + 1))
+
+    pw = jax.lax.fori_loop(0, ndev - 1, pw_body, pw0)
+    t3 = limb.fmul(spec, t2, pw)  # (16, m, D)
 
     # (4) tiles -> i1 rows: chip e gets A'[i1=e, all j2] as (16, n2)
     t4 = jnp.swapaxes(t3, 1, 2)  # (16, D, m)
@@ -113,6 +120,9 @@ def sharded_ntt(spec: FieldSpec, a, k: int, omega: int, mesh):
         mesh=mesh,
         in_specs=(shard, shard),
         out_specs=shard,
+        # check_vma=False: Pallas kernels (fields/pallas_kernels.py) cannot
+        # declare output vma, and the body is manifestly per-shard anyway.
+        check_vma=False,
     )
     return fn(a, w_j2)
 

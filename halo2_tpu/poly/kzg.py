@@ -86,6 +86,72 @@ class ParamsKZG:
         return cls(k, g, g_lagrange, g2, s_g2, s=s)
 
     # ------------------------------------------------------------------
+    @classmethod
+    def setup_host(cls, k: int, seed: bytes = b"halo2-tpu-kzg") -> "ParamsKZG":
+        """SRS computed host-side with Python ints — same values as ``setup``.
+
+        The device setup jits a 256-step double-and-add chain whose XLA
+        compile alone takes minutes on small hosts; for small/medium k a
+        host fixed-base windowed multiplication is instant and bit-identical
+        (tests/test_msm.py pins the two paths equal).  Uses 4-bit fixed-base
+        windows over G, so each of the 2n scalar muls costs 64 host adds.
+        """
+        from ..curves import host
+
+        curve = cls.curve
+        fr = curve.scalar
+        p = fr.p
+        n = 1 << k
+        s = int.from_bytes(hashlib.blake2b(seed, digest_size=64).digest(), "little") % p
+        if s == 0:
+            s = 1
+
+        # fixed-base window table: table[w][d] = d * 16^w * G
+        gpt = (curve.gx, curve.gy)
+        table = []
+        base = gpt
+        for _ in range(64):
+            row = [None]
+            acc = None
+            for _ in range(15):
+                acc = host.add(curve, acc, base)
+                row.append(acc)
+            table.append(row)
+            base = host.add(curve, acc, base)  # 16 * (16^w * G)
+
+        def mul_g(scalar: int):
+            acc = None
+            for w in range(64):
+                d = (scalar >> (4 * w)) & 0xF
+                if d:
+                    acc = host.add(curve, acc, table[w][d])
+            return acc
+
+        # g[i] = s^i * G
+        s_pows = []
+        cur = 1
+        for _ in range(n):
+            s_pows.append(cur)
+            cur = cur * s % p
+        g_aff = [mul_g(v) for v in s_pows]
+
+        # g_lagrange[i] = L_i(s) * G, L_i(s) = (s^n - 1)/n * omega^i / (s - omega^i)
+        omega = pow(fr.root_of_unity, 1 << (fr.s - k), p)
+        common = (pow(s, n, p) - 1) * pow(n, -1, p) % p
+        om = 1
+        lag = []
+        for _ in range(n):
+            lag.append(common * om % p * pow((s - om) % p, -1, p) % p)
+            om = om * omega % p
+        gl_aff = [mul_g(v) for v in lag]
+
+        g = from_affine_ints(curve, g_aff)
+        g_lagrange = from_affine_ints(curve, gl_aff)
+        g2 = bn254_g2.G2_GENERATOR
+        s_g2 = bn254_g2.g2_mul(g2, s)
+        return cls(k, g, g_lagrange, g2, s_g2, s=s)
+
+    # ------------------------------------------------------------------
     def commit_lagrange(self, poly: Poly, blind: int = 0) -> Point:
         """MSM over the Lagrange SRS.  KZG ignores the blinding factor
         (kzg/commitment.rs:281-292 takes Blind and drops it); the parameter

@@ -11,14 +11,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+# Tests are compile-bound (big-field limb graphs), not runtime-bound: drop the
+# XLA backend optimization level.  Roughly 1.6x faster compiles on 2 cores.
+if "xla_backend_optimization_level" not in flags:
+    flags = flags + " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_disable_most_optimizations", True)
 # Persistent compilation cache: big-field kernels are compile-heavy; reuse
 # compilations across test runs.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

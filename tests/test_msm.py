@@ -11,8 +11,11 @@ from halo2_tpu.ops.msm import choose_window, msm
 random.seed(42)
 
 
-@pytest.mark.parametrize("spec", [BN254_G1, PALLAS], ids=lambda s: s.name)
-@pytest.mark.parametrize("n", [1, 5, 33])
+@pytest.mark.parametrize(
+    "spec, n",
+    [(BN254_G1, 1), (BN254_G1, 33), (PALLAS, 5)],
+    ids=["bn254-1", "bn254-33", "pallas-5"],
+)
 def test_msm_random(spec, n):
     g = host.generator(spec)
     pts = [host.mul(spec, g, random.randrange(1, spec.scalar.p)) for _ in range(n)]
@@ -34,7 +37,7 @@ def test_msm_window_choices():
     want = host.msm(spec, scalars, pts)
     sc = limb.from_ints(spec.scalar, scalars)
     pd = from_affine_ints(spec, pts)
-    for c in [1, 7, 16]:
+    for c in [1, 7]:
         got = msm(spec, sc, pd, c)
         assert to_affine_ints(spec, got)[0] == want
     assert 1 <= choose_window(1 << 16) <= 16

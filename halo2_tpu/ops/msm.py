@@ -84,11 +84,15 @@ def _scan_points(spec: CurveSpec, pts: Point) -> Point:
     Two-level blocked scan sized for both compile time and work: the array is
     viewed as an (R, C) row-major grid; a ``fori_loop`` sweeps the C columns
     sequentially (one compiled add instance, R-wide lanes), then per-row
-    offsets (an exclusive Hillis scan over the tiny R axis, one more instance)
-    are broadcast-added.  Total work ~2n complete adds, depth C + log R, and
-    THREE compiled add instances regardless of n — ``associative_scan`` put
-    ~2·log2(n) adds into the graph, which dominated XLA compile time for the
-    big-field limb kernels.
+    offsets (an exclusive Hillis scan over the R axis, one more instance)
+    are broadcast-added.  Total work ~2n + R·logR complete adds, depth
+    C + log R, and THREE compiled add instances regardless of n —
+    ``associative_scan`` put ~2·log2(n) adds into the graph, which dominated
+    XLA compile time for the big-field limb kernels.
+
+    The grid is deliberately wide-R / short-C (C ≈ 32): every sequential step
+    is then a ≥2048-lane EC add, so the VPU stays saturated and the depth per
+    scan stays ~45 instead of the ~260 a square grid gives at n = 2^16.
     """
     n = pts.x.shape[-1]
     if n == 1:
@@ -96,8 +100,8 @@ def _scan_points(spec: CurveSpec, pts: Point) -> Point:
     m = 1 << max(n - 1, 0).bit_length()
     pts = _pad_pow2(spec, pts, m)
     logm = m.bit_length() - 1
-    r = 1 << (logm // 2)
-    c = m // r
+    c = min(32, 1 << (logm // 2))
+    r = m // c
     x = pts.x.reshape(NLIMBS, r, c)
     y = pts.y.reshape(NLIMBS, r, c)
     z = pts.z.reshape(NLIMBS, r, c)
@@ -165,8 +169,8 @@ def _reduce_points(spec: CurveSpec, pts: Point) -> Point:
     m = 1 << max(n - 1, 0).bit_length()
     pts = _pad_pow2(spec, pts, m)
     logm = m.bit_length() - 1
-    r = min(1 << ((logm + 1) // 2), 128)
-    c = m // r
+    c = min(16, 1 << (logm // 2))
+    r = m // c
     if c > 1:
         x = pts.x.reshape(NLIMBS, r, c)
         y = pts.y.reshape(NLIMBS, r, c)
@@ -241,43 +245,60 @@ def _window_sum(spec: CurveSpec, digits, px, py, pz, c: int):
         ident,
     )
     total = Point(prefix.x[:, -1], prefix.y[:, -1], prefix.z[:, -1])
+    # (nb-1)*T = 2^c*T - T: c doublings + one subtract (vs ~2c double-and-add)
+    t2c = total
+    for _ in range(c):
+        t2c = ec_double(spec, t2c)
     acc = ec_add(
         spec,
-        _small_scalar_mul(spec, nb - 1, total),
+        ec_add(spec, t2c, ec_neg(spec, total)),
         ec_neg(spec, _reduce_points(spec, at_ends)),
     )
     return acc.x, acc.y, acc.z
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def msm(spec: CurveSpec, scalars_mont: jnp.ndarray, points: Point, c: int = 0) -> Point:
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def msm(
+    spec: CurveSpec,
+    scalars_mont: jnp.ndarray,
+    points: Point,
+    c: int = 0,
+    window_batch: int = 0,
+) -> Point:
     """Multi-scalar multiplication: sum_i scalars[i] * points[i].
 
     scalars_mont: (16, n) Montgomery-form scalar-field limbs.
     points: batched Point over the same n.  Returns a single projective Point.
 
     Work ~ W·(2n + nb) complete adds with a handful of compiled add instances
-    (blocked scans) — see ``_window_sum``.
+    (blocked scans) — see ``_window_sum``.  Windows run ``window_batch`` at a
+    time under ``lax.map`` so peak HBM is bounded by one window group's
+    working set (a full-W ``vmap`` compiled to ~25 GB of live buffers at
+    k=16 on a 16 GB chip); small inputs batch all windows at once.
     """
     n = scalars_mont.shape[1]
     if c == 0:
         c = choose_window(n)
     scal = limb.from_mont(spec.scalar, scalars_mont)
     digits = _extract_digits(scal, c)  # (W, n)
-
-    window_fn = jax.vmap(
-        lambda d: _window_sum(spec, d, points.x, points.y, points.z, c)
-    )
-    wx, wy, wz = window_fn(digits)  # each (W, 16)
-    wx, wy, wz = wx.T, wy.T, wz.T  # (16, W)
-
     num_windows = digits.shape[0]
+    if window_batch == 0:
+        # bound one group's working set: sorted copies + scan buffers scale
+        # with n, so batch more windows only when n is small
+        window_batch = max(1, min(num_windows, (1 << 14) // max(n, 1)))
+
+    window_fn = lambda d: _window_sum(spec, d, points.x, points.y, points.z, c)
+    if window_batch >= num_windows:
+        wx, wy, wz = jax.vmap(window_fn)(digits)
+    else:
+        wx, wy, wz = jax.lax.map(
+            lambda d: window_fn(d), digits, batch_size=window_batch
+        )  # each (W, 16)
+    wx, wy, wz = wx.T, wy.T, wz.T  # (16, W)
 
     # Horner fold over windows, flattened to ONE loop of total length
     # (W-1)*(c+1): step i doubles, except every (c+1)-th step which adds the
     # next window sum (nested fori_loops of EC ops compile poorly).
-    ident = identity(spec)
-
     def body(i, acc):
         q, r = jnp.divmod(i, c + 1)
         w = num_windows - 2 - q

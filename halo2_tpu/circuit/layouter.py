@@ -278,7 +278,11 @@ class SimpleTableLayouter:
         self.cs.assign_fixed(column.inner, offset, wrapped)
         if offset == 0:
             if entry[0] is None:
-                entry[0] = value_holder.get("v")  # first assignment at offset 0
+                # The default is SET even when the backend never ran the
+                # closure (prover WitnessCollection ignores fixed
+                # assignments): mirror single_pass.rs DefaultTableValue =
+                # Some(Value::unknown()) in that case.
+                entry[0] = value_holder.get("v", Value.unknown())
             else:
                 raise SynthesisError("table column default already set")
         flags = entry[1]

@@ -1,0 +1,177 @@
+"""plonk_api.rs port: standard-plonk + lookup circuit, two instances per proof.
+
+Mirrors /root/reference/halo2_proofs/tests/plonk_api.rs:23-626: the K=5
+StandardPlonk circuit with an in-proof lookup, proved as TWO circuit instances
+in one proof, for GWC, SHPLONK and IPA; `bad_keys` k-too-small errors
+(:428-446); MockProver satisfaction (:495-499); and a pinned-VK regression
+(:624-626).  This is the only test that drives the lookup argument and
+multi-instance handling through create_proof.
+"""
+
+import hashlib
+
+import pytest
+
+from halo2_tpu.circuit import Value
+from halo2_tpu.curves import BN254_G1, PALLAS
+from halo2_tpu.dev.mock_prover import MockProver
+from halo2_tpu.plonk import create_proof, keygen_pk, keygen_vk, verify_proof
+from halo2_tpu.plonk.batch import BatchVerifier
+from halo2_tpu.plonk.error import NotEnoughRowsAvailable
+from halo2_tpu.poly.ipa import IPASingleStrategy, MSMIPA, ParamsIPA
+from halo2_tpu.poly.kzg import ParamsKZG
+from halo2_tpu.poly.multiopen_gwc import gwc_create_proof, gwc_verify_proof
+from halo2_tpu.poly.multiopen_ipa import ipa_create_proof, ipa_verify_proof
+from halo2_tpu.poly.multiopen_shplonk import shplonk_create_proof, shplonk_verify_proof
+from halo2_tpu.transcript import Blake2bTranscript
+from halo2_tpu.utils.rng import FieldRng
+
+from circuits import StandardPlonkCircuit
+
+K = 5
+
+
+def common(spec):
+    """plonk_api.rs common! macro: witness a, instance, lookup table."""
+    p = spec.p
+    a = 2834758237 * spec.zeta % p
+    instance = 2
+    return a, instance, [instance, a, a, 0]
+
+
+def make_circuit(spec, with_witness: bool):
+    a, instance, table = common(spec)
+    return StandardPlonkCircuit(
+        Value.known(a) if with_witness else Value.unknown(), table
+    )
+
+
+# -- bad_keys! (plonk_api.rs:418-446) ---------------------------------------
+
+
+def test_bad_keys_kzg():
+    empty = make_circuit(BN254_G1.scalar, with_witness=False)
+    with pytest.raises(NotEnoughRowsAvailable) as exc:
+        keygen_vk(ParamsKZG.setup_host(1, seed=b"bad-keys"), empty)
+    assert exc.value.current_k == 1
+    with pytest.raises(NotEnoughRowsAvailable) as exc:
+        keygen_vk(ParamsKZG.setup_host(K - 1, seed=b"bad-keys"), empty)
+    assert exc.value.current_k == K - 1
+
+
+# -- KZG (GWC + SHPLONK share one pk) ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def kzg_setup():
+    params = ParamsKZG.setup_host(K, seed=b"plonk-api")
+    empty = make_circuit(BN254_G1.scalar, with_witness=False)
+    vk = keygen_vk(params, empty)
+    pk = keygen_pk(params, vk, empty)
+    return params, vk, pk
+
+
+def _prove_two_instances(params, pk, spec, multiopen, seed, query_instance=False):
+    a, instance, _ = common(spec)
+    circuit = make_circuit(spec, with_witness=True)
+    rng = FieldRng(spec, seed)
+    transcript = Blake2bTranscript(params.curve)
+    return create_proof(
+        params, pk, [circuit, circuit], [[[instance]], [[instance]]],
+        rng, transcript, multiopen, query_instance=query_instance,
+    )
+
+
+def test_plonk_api_gwc(kzg_setup):
+    params, vk, pk = kzg_setup
+    spec = BN254_G1.scalar
+    _, instance, _ = common(spec)
+
+    # MockProver satisfaction (plonk_api.rs:495-499)
+    prover = MockProver.run(spec, K, make_circuit(spec, True), [[instance]])
+    assert prover.verify() == []
+
+    proof = _prove_two_instances(params, pk, spec, gwc_create_proof, b"gwc-rng")
+    assert len(proof) > 0
+
+    tr = Blake2bTranscript(params.curve, proof)
+    assert verify_proof(params, vk, [[[instance]], [[instance]]], tr, gwc_verify_proof)
+
+    # wrong instance fails
+    bad = Blake2bTranscript(params.curve, proof)
+    assert not verify_proof(
+        params, vk, [[[instance]], [[(instance + 1) % spec.p]]], bad, gwc_verify_proof
+    )
+
+
+def test_plonk_api_shplonk(kzg_setup):
+    params, vk, pk = kzg_setup
+    spec = BN254_G1.scalar
+    _, instance, _ = common(spec)
+
+    proof = _prove_two_instances(params, pk, spec, shplonk_create_proof, b"shplonk-rng")
+    tr = Blake2bTranscript(params.curve, proof)
+    assert verify_proof(
+        params, vk, [[[instance]], [[instance]]], tr, shplonk_verify_proof
+    )
+    bad = Blake2bTranscript(params.curve, proof)
+    assert not verify_proof(
+        params, vk, [[[(instance + 1) % spec.p]], [[instance]]], bad,
+        shplonk_verify_proof,
+    )
+
+
+def test_pinned_vk_regression(kzg_setup):
+    """plonk_api.rs:624-626: lock circuit compilation determinism.
+
+    The frozen digest is over this framework's own pinned() rendering (the
+    Rust Debug-string format is a separate tracked divergence, PARITY.md).
+    """
+    _, vk, _ = kzg_setup
+    pinned = repr(vk.pinned())
+    digest = hashlib.blake2b(pinned.encode(), digest_size=16).hexdigest()
+    assert digest == "d870825c92f3b718baedbd98fc5e86c2", pinned
+
+
+# -- IPA ----------------------------------------------------------------------
+
+
+class _IPAStrategy:
+    def __init__(self, params):
+        self.params = params
+
+    def process(self, f):
+        guard = f(MSMIPA(self.params))
+        return guard.use_challenges().check()
+
+
+def test_plonk_api_ipa():
+    spec = PALLAS.scalar
+    params = ParamsIPA.setup(K, seed=b"plonk-api-ipa")
+    _, instance, _ = common(spec)
+    empty = make_circuit(spec, with_witness=False)
+    vk = keygen_vk(params, empty)
+    pk = keygen_pk(params, vk, empty)
+
+    proof = _prove_two_instances(
+        params, pk, spec, ipa_create_proof, b"ipa-rng", query_instance=True
+    )
+    tr = Blake2bTranscript(params.curve, proof)
+    assert verify_proof(
+        params, vk, [[[instance]], [[instance]]], tr, ipa_verify_proof,
+        query_instance=True, strategy=_IPAStrategy(params),
+    )
+
+    # BatchVerifier (verifier/batch.rs:89-133): two good proofs pass;
+    # adding a corrupted one fails the whole batch.
+    batch = BatchVerifier()
+    batch.add_proof([[[instance]], [[instance]]], proof)
+    batch.add_proof([[[instance]], [[instance]]], proof)
+    assert batch.finalize(params, vk)
+
+    tampered = bytearray(proof)
+    tampered[-1] ^= 1  # corrupt the final IPA fold scalar
+    batch_bad = BatchVerifier()
+    batch_bad.add_proof([[[instance]], [[instance]]], proof)
+    batch_bad.add_proof([[[instance]], [[instance]]], bytes(tampered))
+    assert not batch_bad.finalize(params, vk)

@@ -117,3 +117,74 @@ def test_spread_table_chip_rejects_bad_word():
     # 9-bit value is absent from the truncated 8-bit table
     prover = MockProver.run(BN254_FR, 10, SmallSpreadCircuit(Value.known(0x1FF)), [])
     assert prover.verify() != []
+
+
+# ---------------------------------------------------------------------------
+# Full Table16-class circuit: message schedule + compression (table16.py)
+# ---------------------------------------------------------------------------
+
+from halo2_tpu.circuit import Circuit
+from halo2_tpu.gadgets.sha256 import Sha256, Table16Chip, pad_message
+
+
+class Sha256Circuit(Circuit):
+    """Hash the padded blocks; digest half-words exposed as the instance."""
+
+    def __init__(self, blocks):
+        self.blocks = blocks  # list of 16-element lists of Value
+
+    def without_witnesses(self):
+        return Sha256Circuit(
+            [[Value.unknown() for _ in b] for b in self.blocks]
+        )
+
+    @classmethod
+    def configure(cls, meta):
+        config = Table16Chip.configure(meta)
+        instance = meta.instance_column()
+        meta.enable_equality(instance)
+        return config, instance
+
+    def synthesize(self, config, layouter):
+        table_config, instance = config
+        chip = Table16Chip(table_config)
+        Table16Chip.load(table_config, layouter)
+        hasher = Sha256(chip, layouter)
+        for block in self.blocks:
+            hasher.process_block(block)
+        for i, word in enumerate(hasher.digest()):
+            layouter.constrain_instance(word.lo.dense.cell, instance, 2 * i)
+            layouter.constrain_instance(word.hi.dense.cell, instance, 2 * i + 1)
+
+
+def _digest_instance(msg: bytes):
+    import hashlib as _hl
+
+    digest = _hl.sha256(msg).digest()
+    words = [int.from_bytes(digest[4 * i : 4 * i + 4], "big") for i in range(8)]
+    halves = []
+    for w in words:
+        halves.append(w & 0xFFFF)
+        halves.append(w >> 16)
+    return halves
+
+
+def test_sha256_circuit_nist_abc():
+    """NIST vector SHA-256("abc") through the full circuit at k=17
+    (table16/compression.rs + message_schedule.rs coverage; the reference
+    gadget test is sha256/table16.rs tests + benches/sha256.rs)."""
+    msg = b"abc"
+    blocks = [[Value.known(w) for w in blk] for blk in pad_message(msg)]
+    circuit = Sha256Circuit(blocks)
+    prover = MockProver.run(BN254_FR, 17, circuit, [_digest_instance(msg)])
+    assert prover.verify() == []
+
+
+def test_sha256_circuit_wrong_digest_fails():
+    msg = b"abc"
+    blocks = [[Value.known(w) for w in blk] for blk in pad_message(msg)]
+    circuit = Sha256Circuit(blocks)
+    bad = _digest_instance(msg)
+    bad[0] ^= 1
+    prover = MockProver.run(BN254_FR, 17, circuit, [bad])
+    assert any(f.kind == "Permutation" for f in prover.verify())

@@ -233,7 +233,213 @@ class MockProver(Assignment):
             lambda a, s: mul_op(a, s % p),
         )
 
-    def verify(self) -> List[VerifyFailure]:
+    # -- vectorized verification (device) ------------------------------------
+
+    def _vec_columns(self):
+        """Columns as (16, n) Montgomery limb arrays + per-column poison masks.
+
+        UNASSIGNED evaluates as zero (like _eval_expr's cellval); POISON rows
+        carry value zero plus a True mask bit, and the (value, poison) lattice
+        below mirrors dev.rs Value arithmetic exactly.
+        """
+        import numpy as np
+
+        from ..fields import limb
+
+        spec = self.spec
+        n = self.n
+
+        def conv(col):
+            ints = [0 if v in (UNASSIGNED, POISON) else v for v in col]
+            mask = np.array([v == POISON for v in col], dtype=bool)
+            return limb.from_ints(spec, ints), mask
+
+        fixed = [conv(c) for c in self.fixed]
+        advice = [conv(c) for c in self.advice]
+        instance = [
+            conv(list(c) + [0] * (n - len(c))) for c in self.instance
+        ]
+        return fixed, advice, instance
+
+    def _eval_expr_vec(self, expr, cols):
+        """Vectorized expression evaluation over all n rows at once.
+
+        Returns (values (16, n) Montgomery limbs, poison mask (n,) np.bool_).
+        The TPU-native analog of the reference's rayon verify_par
+        (dev.rs:959-1357): each gate polynomial is ONE fused batched limb
+        graph instead of O(rows) Python tree-walks.
+        """
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..fields import limb
+        from ..fields.spec import NLIMBS
+        from ..plonk.circuit import (
+            AdviceExpr, ChallengeExpr, Constant, FixedExpr, InstanceExpr,
+            Negated, Product, Scaled, Sum,
+        )
+
+        spec = self.spec
+        n = self.n
+        fixed, advice, instance = cols
+        no_poison = np.zeros(n, dtype=bool)
+
+        def const(v):
+            c = limb.from_int(spec, v % spec.p)
+            return jnp.broadcast_to(c.reshape(NLIMBS, 1), (NLIMBS, n)), no_poison
+
+        def rotated(source, q):
+            vals, mask = source[q.column_index]
+            r = q.rotation.i
+            if r == 0:
+                return vals, mask
+            return jnp.roll(vals, -r, axis=1), np.roll(mask, -r)
+
+        def go(e):
+            if isinstance(e, Constant):
+                return const(e.value)
+            if isinstance(e, FixedExpr):
+                return rotated(fixed, e.query)
+            if isinstance(e, AdviceExpr):
+                return rotated(advice, e.query)
+            if isinstance(e, InstanceExpr):
+                return rotated(instance, e.query)
+            if isinstance(e, ChallengeExpr):
+                return const(self.challenges[e.challenge.index])
+            if isinstance(e, Negated):
+                v, m = go(e.expr)
+                return limb.fneg(spec, v), m
+            if isinstance(e, Sum):
+                (av, am), (bv, bm) = go(e.a), go(e.b)
+                return limb.fadd(spec, av, bv), am | bm
+            if isinstance(e, Product):
+                (av, am), (bv, bm) = go(e.a), go(e.b)
+                # dev.rs Value::mul: poison * known-zero = zero (not poison)
+                a_zero = np.asarray(limb.is_zero(av)) & ~am
+                b_zero = np.asarray(limb.is_zero(bv)) & ~bm
+                poison = (am | bm) & ~a_zero & ~b_zero
+                return limb.fmul(spec, av, bv), poison
+            if isinstance(e, Scaled):
+                v, m = go(e.expr)
+                cv, _ = const(e.factor)
+                zero = np.asarray(limb.is_zero(cv)) & m  # scale by 0 clears
+                return limb.fmul(spec, v, cv), m & ~zero
+            raise TypeError(f"unknown expression {type(e)}")
+
+        return go(expr)
+
+    def _verify_gates_vec(self, failures):
+        import numpy as np
+
+        from ..fields import limb
+
+        cols = self._vec_columns()
+        usable = self.usable_rows
+        for gate in self.cs.gates:
+            for cname, poly in zip(gate.constraint_names, gate.polys):
+                vals, poison = self._eval_expr_vec(poly, cols)
+                nonzero = ~np.asarray(limb.is_zero(vals))
+                for row in range(usable):
+                    if poison[row]:
+                        failures.append(
+                            VerifyFailure(
+                                "ConstraintPoisoned", gate=gate.name,
+                                constraint=cname, row=row,
+                            )
+                        )
+                    elif nonzero[row]:
+                        failures.append(
+                            VerifyFailure(
+                                "ConstraintNotSatisfied", gate=gate.name,
+                                constraint=cname, row=row,
+                            )
+                        )
+        return cols
+
+    def _verify_lookups_vec(self, failures, cols):
+        import numpy as np
+
+        from ..fields import limb
+
+        usable = self.usable_rows
+        for lk_idx, arg in enumerate(self.cs.lookups):
+            table_cols, table_masks = [], []
+            for e in arg.table_expressions:
+                v, m = self._eval_expr_vec(e, cols)
+                table_cols.append(limb.to_ints(self.spec, v))
+                table_masks.append(m)
+            input_cols, input_masks = [], []
+            for e in arg.input_expressions:
+                v, m = self._eval_expr_vec(e, cols)
+                input_cols.append(limb.to_ints(self.spec, v))
+                input_masks.append(m)
+            table = set()
+            for row in range(usable):
+                if not any(m[row] for m in table_masks):
+                    table.add(tuple(c[row] for c in table_cols))
+            for row in range(usable):
+                if any(m[row] for m in input_masks):
+                    continue
+                if tuple(c[row] for c in input_cols) not in table:
+                    failures.append(
+                        VerifyFailure("Lookup", lookup_index=lk_idx, row=row)
+                    )
+
+    def verify(self, vectorized: Optional[bool] = None) -> List[VerifyFailure]:
+        """``vectorized=None`` auto-selects: device whole-column evaluation for
+        big circuits (the k=17 SHA-256 scale), per-row Python for tiny ones
+        (where XLA compile would dominate).  Both paths produce identical
+        failure lists (tests/test_mock_prover.py pins them equal)."""
+        if vectorized is None:
+            vectorized = self.n > 1024
+        if vectorized:
+            return self._verify_vectorized()
+        return self._verify_python()
+
+    def _verify_vectorized(self) -> List[VerifyFailure]:
+        failures: List[VerifyFailure] = []
+        self._check_cells_assigned(failures)
+        cols = self._verify_gates_vec(failures)
+        self._verify_lookups_vec(failures, cols)
+        self._check_copies(failures)
+        # match the per-row path's ordering: gates, then lookups, then copies
+        return failures
+
+    def _check_cells_assigned(self, failures):
+        cs = self.cs
+        for region in self.regions:
+            for gate in cs.gates:
+                for selector, rows in region.enabled_selectors.items():
+                    if selector not in gate.queried_selectors:
+                        continue
+                    for row in rows:
+                        for column, rotation in gate.queried_cells:
+                            if column.kind != ADVICE:
+                                continue
+                            cell_row = (row + rotation.i) % self.n
+                            if (column, cell_row) not in region.cells and self.advice[
+                                column.index
+                            ][cell_row] in (UNASSIGNED,):
+                                failures.append(
+                                    VerifyFailure(
+                                        "CellNotAssigned",
+                                        gate=gate.name,
+                                        region=region.name,
+                                        row=cell_row,
+                                        column=column,
+                                    )
+                                )
+
+    def _check_copies(self, failures):
+        for left_col, left_row, right_col, right_row in self.copies:
+            lv = self._cell(left_col.kind, left_col.index, left_row)
+            rv = self._cell(right_col.kind, right_col.index, right_row)
+            if lv in (UNASSIGNED, POISON) or rv in (UNASSIGNED, POISON) or lv != rv:
+                failures.append(
+                    VerifyFailure("Permutation", row=left_row, column=left_col)
+                )
+
+    def _verify_python(self) -> List[VerifyFailure]:
         failures: List[VerifyFailure] = []
         p = self.spec.p
         cs = self.cs

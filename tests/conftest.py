@@ -14,7 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
     flags = flags + " --xla_force_host_platform_device_count=8"
 # Tests are compile-bound (big-field limb graphs), not runtime-bound: drop the
 # XLA backend optimization level.  Roughly 1.6x faster compiles on 2 cores.
-if "xla_backend_optimization_level" not in flags:
+# Set HALO2_TPU_TEST_OPT=1 to run the suite through the fully optimized XLA
+# pipeline (the one bench.py and production use) — slower compiles, but
+# catches optimization-dependent miscompiles (ADVICE.md round-2).
+_OPTIMIZED = bool(os.environ.get("HALO2_TPU_TEST_OPT"))
+if not _OPTIMIZED and "xla_backend_optimization_level" not in flags:
     flags = flags + " --xla_backend_optimization_level=0"
 os.environ["XLA_FLAGS"] = flags.strip()
 
@@ -22,7 +26,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-jax.config.update("jax_disable_most_optimizations", True)
+if not _OPTIMIZED:
+    jax.config.update("jax_disable_most_optimizations", True)
 # Persistent compilation cache: big-field kernels are compile-heavy; reuse
 # compilations across test runs.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -184,16 +184,13 @@ def select(cond, a, b):
 # Montgomery multiplication
 # ---------------------------------------------------------------------------
 
-_PALLAS_FMUL = None  # resolved lazily: True on the TPU backend
-
-
 def _pallas_enabled() -> bool:
-    global _PALLAS_FMUL
-    if _PALLAS_FMUL is None:
-        from .pallas_kernels import backend_is_tpu
+    # Re-evaluated per call (jax caches backend resolution): the dryrun
+    # switches the process from the axon TPU to a virtual CPU mesh mid-run,
+    # and a cached True here would route CPU work into TPU-only Pallas.
+    from .pallas_kernels import backend_is_tpu
 
-        _PALLAS_FMUL = backend_is_tpu()
-    return _PALLAS_FMUL
+    return backend_is_tpu()
 
 
 @functools.partial(jax.jit, static_argnums=0)

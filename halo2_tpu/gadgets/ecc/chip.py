@@ -50,6 +50,8 @@ class EccConfig:
     beta: Column
     gamma: Column
     delta: Column
+    # variable-base scalar mul step (bit select + running sum)
+    q_mul_step: Selector = None
 
 
 def _inv0(v: int, p: int) -> int:
@@ -67,7 +69,7 @@ class EccChip:
         """advices: >= 9 advice columns."""
         b = cls.curve.b
         x_p, y_p, x_qr, y_qr, lam, alpha, beta, gamma, delta = advices[:9]
-        for col in (x_p, y_p, x_qr, y_qr):
+        for col in (x_p, y_p, x_qr, y_qr, alpha):
             meta.enable_equality(col)
 
         config = EccConfig(
@@ -171,6 +173,39 @@ class EccChip:
             ]
 
         meta.create_gate("complete addition", add_complete)
+
+        config.q_mul_step = meta.selector()
+
+        def mul_step(cells):
+            """One double-and-add select step (variable-base mul).
+
+            Row 0 holds acc (x_p,y_p), acc+P (x_qr,y_qr), the scalar bit
+            (lam) and the incoming running sum z_prev (alpha); row 1 holds
+            the selected output point (x_p,y_p) and z_new = 2 z_prev + bit
+            (alpha).  Replaces the reference's hi/lo incomplete + complete
+            round machinery (ecc/chip/mul{,/incomplete,/complete}.rs) with
+            all-complete rounds — simpler and branch-free; the adds
+            themselves come from the complete-add gate in adjacent regions.
+            """
+            q = cells.query_selector(config.q_mul_step)
+            bit = cells.query_advice(lam, Rotation.cur())
+            accx = cells.query_advice(x_p, Rotation.cur())
+            accy = cells.query_advice(y_p, Rotation.cur())
+            sumx = cells.query_advice(x_qr, Rotation.cur())
+            sumy = cells.query_advice(y_qr, Rotation.cur())
+            outx = cells.query_advice(x_p, Rotation.next())
+            outy = cells.query_advice(y_p, Rotation.next())
+            z_prev = cells.query_advice(alpha, Rotation.cur())
+            z_new = cells.query_advice(alpha, Rotation.next())
+            one = Constant(1)
+            return [
+                ("bit boolean", q * bit * (bit - one)),
+                ("select x", q * (outx - bit * sumx - (one - bit) * accx)),
+                ("select y", q * (outy - bit * sumy - (one - bit) * accy)),
+                ("z chain", q * (z_new - z_prev * 2 - bit)),
+            ]
+
+        meta.create_gate("mul double-and-add step", mul_step)
         return config
 
     # ------------------------------------------------------------------
@@ -281,3 +316,105 @@ class EccChip:
             return EccPoint(x_r, y_r)
 
         return layouter.namespace("complete add").assign_region("complete add", do)
+
+    # ------------------------------------------------------------------
+    # scalar multiplication
+    # ------------------------------------------------------------------
+
+    NUM_BITS = 254  # scalars must be < 2^254 (< p); see mul docstring
+
+    def mul(self, layouter: Layouter, scalar: Value, base: EccPoint):
+        """Variable-base scalar mul: returns ([scalar] base, scalar_cell).
+
+        Functional replacement for ecc/chip/mul.rs: MSB-first double-and-add
+        where every round uses the complete-add gate (the reference splits
+        hi/lo incomplete + complete rounds for row count; here uniformity
+        wins).  The scalar is decomposed into 254 boolean-constrained bits
+        chained through a running sum z_i = 2 z_{i+1} + b_i with z_254
+        pinned to 0; the final z_0 cell IS the scalar (returned so callers
+        can constrain it).  Since 2^254 < p, the decomposition is an exact
+        integer equality — scalars in [2^254, q) are not representable
+        (divergence from mul/overflow.rs, tracked in PARITY.md).
+        """
+        config = self.config
+        fp = self.curve.base.p
+
+        # acc starts at the identity, pinned to (0, 0)
+        def init(region: Region):
+            config.q_point.enable(region, 0)
+            x = region.assign_advice(config.x_p, 0, lambda: Value.known(0))
+            y = region.assign_advice(config.y_p, 0, lambda: Value.known(0))
+            region.constrain_constant(x.cell, 0)
+            region.constrain_constant(y.cell, 0)
+            return EccPoint(x, y)
+
+        acc = layouter.namespace("mul init").assign_region("mul init", init)
+
+        bits = scalar.map(
+            lambda v: [(v >> i) & 1 for i in reversed(range(self.NUM_BITS))]
+        )
+        z_prev_cell = None  # z_254 pinned to 0 inside the first step region
+        z_val = Value.known(0)
+
+        for i in range(self.NUM_BITS):
+            doubled = self.add(layouter, acc, acc)
+            summed = self.add(layouter, doubled, base)
+            bit_i = bits.map(lambda bs, i=i: bs[i])
+            z_new_val = z_val.zip(bit_i).map(lambda t: (2 * t[0] + t[1]) % fp)
+
+            def step(region: Region, doubled=doubled, summed=summed,
+                     bit_i=bit_i, z_val=z_val, z_new_val=z_new_val,
+                     z_prev_cell=z_prev_cell):
+                config.q_mul_step.enable(region, 0)
+                doubled.x.copy_advice(region, config.x_p, 0)
+                doubled.y.copy_advice(region, config.y_p, 0)
+                summed.x.copy_advice(region, config.x_qr, 0)
+                summed.y.copy_advice(region, config.y_qr, 0)
+                region.assign_advice(config.lam, 0, lambda: bit_i)
+                if z_prev_cell is None:
+                    zp = region.assign_advice(config.alpha, 0, lambda: z_val)
+                    region.constrain_constant(zp.cell, 0)
+                else:
+                    z_prev_cell.copy_advice(region, config.alpha, 0)
+                # selected output coordinates
+                sel = bit_i.zip(
+                    doubled.x.value.zip(doubled.y.value).zip(
+                        summed.x.value.zip(summed.y.value)
+                    )
+                ).map(lambda t: t[1][1] if t[0] else t[1][0])
+                x_o = region.assign_advice(
+                    config.x_p, 1, lambda: sel.map(lambda c: c[0])
+                )
+                y_o = region.assign_advice(
+                    config.y_p, 1, lambda: sel.map(lambda c: c[1])
+                )
+                z_n = region.assign_advice(config.alpha, 1, lambda: z_new_val)
+                return EccPoint(x_o, y_o), z_n
+
+            acc, z_prev_cell = layouter.namespace(f"mul step {i}").assign_region(
+                f"mul step {i}", step
+            )
+            z_val = z_new_val
+
+        return acc, z_prev_cell
+
+    def mul_fixed(self, layouter: Layouter, scalar: Value, base_xy):
+        """Fixed-base mul: the base is pinned to circuit constants.
+
+        API parity with ecc/chip/mul_fixed.rs; this build reuses the
+        variable-base machinery on a constant-pinned point instead of the
+        reference's windowed fixed tables (divergence noted in PARITY.md —
+        same function, more rows).
+        """
+        config = self.config
+
+        def pin(region: Region):
+            config.q_point_non_id.enable(region, 0)
+            x = region.assign_advice(config.x_p, 0, lambda: Value.known(base_xy[0]))
+            y = region.assign_advice(config.y_p, 0, lambda: Value.known(base_xy[1]))
+            region.constrain_constant(x.cell, base_xy[0])
+            region.constrain_constant(y.cell, base_xy[1])
+            return EccPoint(x, y)
+
+        base = layouter.namespace("fixed base").assign_region("fixed base", pin)
+        return self.mul(layouter, scalar, base)

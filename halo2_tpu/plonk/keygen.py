@@ -395,9 +395,13 @@ def _run_keygen_synthesis(params, spec, circuit, k):
     return domain, cs, assembly, fixed
 
 
-def keygen_vk(params, circuit, spec: FieldSpec | None = None) -> VerifyingKey:
+def keygen_vk(params, circuit, spec: FieldSpec | None = None, mesh=None) -> VerifyingKey:
     spec = spec or params.curve.scalar
+    if mesh is not None:
+        params.mesh = mesh
     domain, cs, assembly, fixed = _run_keygen_synthesis(params, spec, circuit, params.k)
+    if mesh is not None:
+        domain.mesh = mesh
     perm_vk = assembly.permutation.build_vk(params, domain, cs.permutation)
 
     from ..curves.point import to_affine_ints
@@ -412,9 +416,14 @@ def keygen_vk(params, circuit, spec: FieldSpec | None = None) -> VerifyingKey:
     return VerifyingKey(domain, cs, fixed_commitments, perm_comms, assembly.selectors)
 
 
-def keygen_pk(params, vk: VerifyingKey, circuit, spec: FieldSpec | None = None) -> ProvingKey:
+def keygen_pk(params, vk: VerifyingKey, circuit, spec: FieldSpec | None = None, mesh=None) -> ProvingKey:
     spec = spec or params.curve.scalar
+    if mesh is not None:
+        params.mesh = mesh
+        vk.domain.mesh = mesh
     domain, cs, assembly, fixed = _run_keygen_synthesis(params, spec, circuit, params.k)
+    if mesh is not None:
+        domain.mesh = mesh
     n = 1 << params.k
 
     fixed_polys = [domain.lagrange_to_coeff(p) for p in fixed]

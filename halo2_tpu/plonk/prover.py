@@ -348,7 +348,7 @@ def _lookup_commit_product(
 
 
 def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, multiopen,
-                 query_instance: bool = False):
+                 query_instance: bool = False, mesh=None):
     """instances: list (per circuit) of list (per instance column) of int lists.
 
     ``multiopen`` is a callable (params, rng, transcript, queries) -> None
@@ -357,12 +357,26 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
     as common scalars; True (IPA) commits each instance column with
     Blind::default()=1 and hashes the commitment, writing instance evals and
     opening instance polynomials in the multiopen.
+
+    ``mesh`` (optional jax.sharding.Mesh): the whole prover runs sharded over
+    the mesh — commitments via the distributed MSM (parallel/msm.py), NTTs as
+    the four-step collective transform (parallel/ntt.py), and the quotient
+    evaluation over cosets whose rows are sharded across chips (the GSPMD
+    partitioner propagates the sharding through the elementwise constraint
+    graph and turns rotations into collective permutes).  The TPU-native
+    analog of the reference's rayon row/chunk splitting (evaluation.rs:
+    336-362, arithmetic.rs:136-153).  Proof bytes are unchanged: all
+    arithmetic is exact, so sharded and single-device runs are bit-identical
+    (asserted by __graft_entry__.dryrun_multichip).
     """
     domain: EvaluationDomain = pk.vk.domain
     spec = domain.spec
     cs = pk.vk.cs
     n = domain.n
     p = spec.p
+    if mesh is not None:
+        params.mesh = mesh
+        domain.mesh = mesh
 
     pk.vk.hash_into(transcript)
 

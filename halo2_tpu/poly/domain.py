@@ -71,6 +71,16 @@ class EvaluationDomain:
         self.ifft_divisor = pow(1 << k, -1, p)
         self.extended_ifft_divisor = pow(1 << extended_k, -1, p)
         self.barycentric_weight = pow(self.n, -1, p)
+        # optional jax.sharding.Mesh: NTTs run as the distributed four-step
+        # transform (parallel/ntt.py), the TPU-native analog of the
+        # reference's thread-split FFT (arithmetic.rs:202-274)
+        self.mesh = None
+
+    def _use_mesh(self, length: int) -> bool:
+        if self.mesh is None:
+            return False
+        ndev = self.mesh.shape["shard"]
+        return ndev > 1 and length >= ndev * ndev
 
     # ------------------------------------------------------------------
     # cached device tables
@@ -179,11 +189,25 @@ class EvaluationDomain:
 
     def lagrange_to_coeff(self, a: Poly) -> Poly:
         assert a.basis == LAGRANGE
+        if self._use_mesh(self.n):
+            from ..parallel.ntt import sharded_intt
+
+            return Poly(
+                sharded_intt(self.spec, a.values, self.k, self.omega, self.mesh),
+                COEFF,
+            )
         vals = ntt_ops.intt(self.spec, a.values, self._tw_inv, self.k, self._ifft_div_mont)
         return Poly(vals, COEFF)
 
     def coeff_to_lagrange(self, a: Poly) -> Poly:
         assert a.basis == COEFF
+        if self._use_mesh(self.n):
+            from ..parallel.ntt import sharded_ntt
+
+            return Poly(
+                sharded_ntt(self.spec, a.values, self.k, self.omega, self.mesh),
+                LAGRANGE,
+            )
         return Poly(ntt_ops.ntt(self.spec, a.values, self._tw, self.k), LAGRANGE)
 
     def coeff_to_extended(self, a: Poly) -> Poly:
@@ -191,15 +215,32 @@ class EvaluationDomain:
         vals = limb.fmul(self.spec, a.values, self._zeta_into)
         pad = self.extended_len - self.n
         vals = jnp.pad(vals, ((0, 0), (0, pad)))
+        if self._use_mesh(self.extended_len):
+            from ..parallel.ntt import sharded_ntt
+
+            return Poly(
+                sharded_ntt(
+                    self.spec, vals, self.extended_k, self.extended_omega, self.mesh
+                ),
+                EXTENDED,
+            )
         vals = ntt_ops.ntt(self.spec, vals, self._ext_tw, self.extended_k)
         return Poly(vals, EXTENDED)
 
     def extended_to_coeff(self, a: Poly) -> jnp.ndarray:
         """Returns raw coefficient limbs of length n*quotient_poly_degree."""
         assert a.basis == EXTENDED
-        vals = ntt_ops.intt(
-            self.spec, a.values, self._ext_tw_inv, self.extended_k, self._ext_ifft_div_mont
-        )
+        if self._use_mesh(self.extended_len):
+            from ..parallel.ntt import sharded_intt
+
+            vals = sharded_intt(
+                self.spec, a.values, self.extended_k, self.extended_omega, self.mesh
+            )
+        else:
+            vals = ntt_ops.intt(
+                self.spec, a.values, self._ext_tw_inv, self.extended_k,
+                self._ext_ifft_div_mont,
+            )
         vals = limb.fmul(self.spec, vals, self._zeta_outof_ext)
         return vals[:, : self.n * self.quotient_poly_degree]
 

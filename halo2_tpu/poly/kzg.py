@@ -44,6 +44,19 @@ class ParamsKZG:
         self.g2 = g2
         self.s_g2 = s_g2
         self._s = s  # dev-only toxic waste (None for externally loaded params)
+        # optional jax.sharding.Mesh: commitments shard points over the mesh
+        # (parallel/msm.py), the TPU-native analog of the reference's
+        # chunk-per-thread best_multiexp (arithmetic.rs:132-159)
+        self.mesh = None
+
+    def _msm(self, scalars, points: Point) -> Point:
+        ndev = self.mesh.shape["shard"] if self.mesh is not None else 0
+        n = scalars.shape[1]
+        if ndev > 1 and n % ndev == 0 and n // ndev >= 2:
+            from ..parallel.msm import sharded_msm
+
+            return sharded_msm(self.curve, scalars, points, self.mesh)
+        return msm(self.curve, scalars, points)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -93,8 +106,9 @@ class ParamsKZG:
         The device setup jits a 256-step double-and-add chain whose XLA
         compile alone takes minutes on small hosts; for small/medium k a
         host fixed-base windowed multiplication is instant and bit-identical
-        (tests/test_msm.py pins the two paths equal).  Uses 4-bit fixed-base
-        windows over G, so each of the 2n scalar muls costs 64 host adds.
+        (tests/test_kzg_params.py pins the two paths equal).  Uses 4-bit
+        fixed-base windows over G, so each of the 2n scalar muls costs 64
+        host adds.
         """
         from ..curves import host
 
@@ -157,11 +171,11 @@ class ParamsKZG:
         (kzg/commitment.rs:281-292 takes Blind and drops it); the parameter
         exists so the prover is scheme-generic with IPA."""
         assert poly.basis == LAGRANGE
-        return msm(self.curve, poly.values, self.g_lagrange)
+        return self._msm(poly.values, self.g_lagrange)
 
     def commit(self, poly: Poly, blind: int = 0) -> Point:
         assert poly.basis == COEFF
-        return msm(self.curve, poly.values, self.g)
+        return self._msm(poly.values, self.g)
 
     def empty_msm(self):
         from .multiopen_gwc import HostMSM
@@ -172,7 +186,7 @@ class ParamsKZG:
         """Commit raw coefficient limbs of arbitrary length <= n."""
         m = coeffs.shape[1]
         g = Point(self.g.x[:, :m], self.g.y[:, :m], self.g.z[:, :m])
-        return msm(self.curve, coeffs, g)
+        return self._msm(coeffs, g)
 
     # ------------------------------------------------------------------
     def verify_pairing_known_s(self, lhs, rhs) -> bool:

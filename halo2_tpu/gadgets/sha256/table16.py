@@ -427,7 +427,14 @@ class Table16Chip:
         """result = (sum operands + const) mod 2^32 via one add block."""
         cfg = self.config
         n = len(operands)
-        sel = {2: "add2", 3: "add3", 4: "add4"}[n] if not const else {2: "add2c"}[n]
+        if const:
+            assert n == 2, (
+                f"const-add only has a 2-operand selector (add2c); got {n} "
+                "operands — add an add3c/add4c selector before using this"
+            )
+            sel = "add2c"
+        else:
+            sel = {2: "add2", 3: "add3", 4: "add4"}[n]
 
         def do(region):
             cfg.selectors[sel].enable(region, 0)

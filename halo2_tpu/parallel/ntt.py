@@ -94,12 +94,30 @@ def _local_fourstep(spec: FieldSpec, a, w_j2, tw_inner, tw_outer, ndev: int):
     return jnp.swapaxes(t6, 1, 2).reshape(NLIMBS, n2)
 
 
+def _host_power_table(spec: FieldSpec, base: int, n: int):
+    """(16, n) numpy Montgomery power table, computed with host bigints.
+
+    Host-side on purpose: the results are cached across calls, and caching
+    device arrays would leak tracers when the first call happens under an
+    outer jit trace (this exact bug broke dryrun_multichip in round 3 —
+    power_table output cached inside a traced ``step`` escaped its trace).
+    """
+    vals = []
+    cur = 1
+    for _ in range(n):
+        vals.append(spec.to_mont(cur))
+        cur = cur * base % spec.p
+    from ..fields.limb import ints_to_limbs_np
+
+    return ints_to_limbs_np(vals)
+
+
 @functools.lru_cache(maxsize=None)
 def _tables(spec: FieldSpec, omega: int, n: int, ndev: int):
     n2 = n // ndev
-    w_j2 = ntt_ops.power_table(spec, omega, n2)  # sharded input
-    tw_inner = ntt_ops.power_table(spec, pow(omega, n2, spec.p), max(ndev // 2, 1))
-    tw_outer = ntt_ops.power_table(spec, pow(omega, ndev, spec.p), n2 // 2)
+    w_j2 = _host_power_table(spec, omega, n2)  # sharded input
+    tw_inner = _host_power_table(spec, pow(omega, n2, spec.p), max(ndev // 2, 1))
+    tw_outer = _host_power_table(spec, pow(omega, ndev, spec.p), n2 // 2)
     return w_j2, tw_inner, tw_outer
 
 

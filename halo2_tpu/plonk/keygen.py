@@ -397,11 +397,12 @@ def _run_keygen_synthesis(params, spec, circuit, k):
 
 def keygen_vk(params, circuit, spec: FieldSpec | None = None, mesh=None) -> VerifyingKey:
     spec = spec or params.curve.scalar
-    if mesh is not None:
-        params.mesh = mesh
+    # set unconditionally (including None): the mesh kwarg previously stuck to
+    # the shared params/domain objects, silently keeping later mesh-less calls
+    # sharded (ADVICE.md r3)
+    params.mesh = mesh
     domain, cs, assembly, fixed = _run_keygen_synthesis(params, spec, circuit, params.k)
-    if mesh is not None:
-        domain.mesh = mesh
+    domain.mesh = mesh
     perm_vk = assembly.permutation.build_vk(params, domain, cs.permutation)
 
     from ..curves.point import to_affine_ints
@@ -418,12 +419,10 @@ def keygen_vk(params, circuit, spec: FieldSpec | None = None, mesh=None) -> Veri
 
 def keygen_pk(params, vk: VerifyingKey, circuit, spec: FieldSpec | None = None, mesh=None) -> ProvingKey:
     spec = spec or params.curve.scalar
-    if mesh is not None:
-        params.mesh = mesh
-        vk.domain.mesh = mesh
+    params.mesh = mesh
+    vk.domain.mesh = mesh
     domain, cs, assembly, fixed = _run_keygen_synthesis(params, spec, circuit, params.k)
-    if mesh is not None:
-        domain.mesh = mesh
+    domain.mesh = mesh
     n = 1 << params.k
 
     fixed_polys = [domain.lagrange_to_coeff(p) for p in fixed]

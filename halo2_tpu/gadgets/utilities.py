@@ -317,6 +317,28 @@ class LookupRangeCheckConfig:
             region.constrain_constant(zs[-1].cell, 0)
         return zs
 
+    def witness_short_check(self, layouter: Layouter, value: Value, num_bits: int) -> AssignedCell:
+        """Witness a fresh cell and range-check it to num_bits < K bits
+        (lookup_range_check.rs witness_short_check)."""
+        assert num_bits < self.k
+        p = self.field.p
+
+        def do(region: Region):
+            el = region.assign_advice(self.running_sum, 0, lambda: value)
+            self.q_lookup.enable(region, 0)
+            shift = 1 << (self.k - num_bits)
+            shifted_val = el.value.map(lambda v: int(v) * shift % p)
+            region.assign_advice(self.running_sum, 1, lambda: shifted_val)
+            self.q_lookup.enable(region, 1)
+            self.q_bitshift.enable(region, 1)
+            inv_two_pow_s = pow(1 << num_bits, -1, p)
+            region.assign_advice(self.running_sum, 2, lambda: Value.known(inv_two_pow_s))
+            return el
+
+        return layouter.namespace("short range check").assign_region(
+            f"Witness short check {num_bits} bits", do
+        )
+
     def copy_short_check(self, layouter: Layouter, element: AssignedCell, num_bits: int):
         """Range-check an existing cell to num_bits < K bits via a shift."""
         assert num_bits < self.k

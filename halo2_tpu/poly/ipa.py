@@ -4,13 +4,11 @@ Rebuild of poly/ipa/{commitment.rs, commitment/{prover,verifier}.rs, msm.rs,
 strategy.rs} (SURVEY.md §2.10) over the Pasta cycle:
 
 - ``ParamsIPA``: random-oracle SRS {g, g_lagrange, w, u}; g_lagrange via the
-  group inverse-NTT (ops/gntt.py).  NOTE on parity: the reference derives g
-  with halo2curves' pasta ``hash_to_curve("Halo2-Parameters")`` (simplified
-  SSWU + isogeny, ipa/commitment.rs:160-205); this build currently uses a
-  deterministic blake2b try-and-increment map, so params (and therefore proof
-  bytes) differ from the Rust reference until the exact SSWU map is ported.
-  The protocol layers (folding rounds, challenge order, MSM/guard algebra)
-  mirror the reference exactly.
+  group inverse-NTT (ops/gntt.py).  For Pallas/Vesta the SRS points come from
+  the real SSWU ``hash_to_curve("Halo2-Parameters")`` (curves/sswu.py),
+  matching ipa/commitment.rs:160-205 byte-for-byte: g[i] = H(0x00 || i_le32),
+  w = H([1]), u = H([2]).  Curves without derived iso constants (BN254) fall
+  back to a documented blake2b try-and-increment map (PARITY.md).
 - ``ipa_commit_create_proof``/``ipa_commit_verify_proof``: the k-round inner
   product argument (ipa/commitment/prover.rs:29-153, verifier.rs:23-105) with
   the vector collapses and L/R multiexps as device kernels.
@@ -75,11 +73,21 @@ class ParamsIPA:
     @classmethod
     def setup(cls, k: int, curve: CurveSpec = PALLAS, seed: bytes = b"Halo2-Parameters") -> "ParamsIPA":
         n = 1 << k
-        pts = [_map_to_curve(curve, seed, i) for i in range(n)]
+        from ..curves.sswu import ISO_PARAMS, hash_to_curve
+
+        if curve.name in ISO_PARAMS and seed == b"Halo2-Parameters":
+            # reference-exact SRS (ipa/commitment.rs:167-201): the message for
+            # g[i] is a 5-byte buffer [0, i_le32]; w and u use [1] and [2].
+            hasher = hash_to_curve(curve, "Halo2-Parameters")
+            pts = [hasher(b"\x00" + i.to_bytes(4, "little")) for i in range(n)]
+            w = hasher(b"\x01")
+            u = hasher(b"\x02")
+        else:
+            pts = [_map_to_curve(curve, seed, i) for i in range(n)]
+            w = _map_to_curve(curve, seed + b"-w", 0)
+            u = _map_to_curve(curve, seed + b"-u", 0)
         g = from_affine_ints(curve, pts)
         g_lagrange = batch_normalize(curve, gntt.g_to_lagrange(curve, g, k))
-        w = _map_to_curve(curve, seed + b"-w", 0)
-        u = _map_to_curve(curve, seed + b"-u", 0)
         return cls(k, curve, g, g_lagrange, w, u)
 
     # -- commitments (blind rides the w base, ipa/commitment.rs:90-110,215-235)

@@ -101,9 +101,16 @@ class FieldSpec:
     @property
     def zeta(self) -> int:
         """Primitive cube root of unity (extended-domain coset generator,
-        reference poly/domain.rs:81)."""
+        reference poly/domain.rs:81).
+
+        halo2curves pins ZETA = g^(2(p-1)/3), not g^((p-1)/3): verified for
+        pasta Fp against the reference's pinned plonk_api VK (the lookup
+        table commitment over a = 2834758237 * ZETA only matches with the
+        squared root; tests/test_plonk_api.py), and for bn256 Fr against the
+        published ZETA constant 0x30644e72e131a029048b6e19...36636f23.
+        """
         assert (self.p - 1) % 3 == 0
-        z = pow(self.generator, (self.p - 1) // 3, self.p)
+        z = pow(self.generator, 2 * (self.p - 1) // 3, self.p)
         assert z != 1 and pow(z, 3, self.p) == 1
         return z
 

@@ -306,12 +306,13 @@ def batch_invert_assigned(
 class VerifyingKey:
     """plonk.rs:49-259."""
 
-    def __init__(self, domain, cs, fixed_commitments, permutation_commitments, selectors):
+    def __init__(self, domain, cs, fixed_commitments, permutation_commitments, selectors, curve=None):
         self.domain: EvaluationDomain = domain
         self.cs: ConstraintSystem = cs
         self.fixed_commitments = fixed_commitments  # host affine points
         self.permutation_commitments = permutation_commitments
         self.selectors = selectors
+        self.curve = curve
         self.transcript_repr = self._compute_repr()
 
     def pinned(self):
@@ -325,15 +326,22 @@ class VerifyingKey:
         }
 
     def _compute_repr(self) -> int:
-        """Blake2b('Halo2-Verify-Key') over a deterministic pinned repr.
-
-        NOTE: the reference hashes Rust's Debug formatting of PinnedVerifyingKey
-        (plonk.rs:192-204); our repr is deterministic but not byte-identical to
-        that Debug string yet, so vk hashes differ from Rust until the exact
-        formatter is replicated.
+        """Blake2b('Halo2-Verify-Key') over Rust's `{:?}` Debug formatting of
+        PinnedVerificationKey, byte-identical to plonk.rs:192-206 when the
+        curve is known (the hash input is `s.len() as u64 LE || s`).  Falls
+        back to a deterministic internal repr for curve-less VKs.
         """
         h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
-        h.update(repr(self.pinned()).encode())
+        if self.curve is not None:
+            from .rust_debug import pinned_vk_debug
+
+            s = pinned_vk_debug(
+                self, self.curve.base.p, self.curve.scalar.p, alternate=False
+            ).encode()
+            h.update(len(s).to_bytes(8, "little"))
+            h.update(s)
+        else:
+            h.update(repr(self.pinned()).encode())
         return self.domain.spec.from_bytes_wide(h.digest())
 
     def hash_into(self, transcript):
@@ -414,7 +422,9 @@ def keygen_vk(params, circuit, spec: FieldSpec | None = None, mesh=None) -> Veri
     perm_comms = [
         to_affine_ints(params.curve, c)[0] for c in perm_vk.commitments
     ]
-    return VerifyingKey(domain, cs, fixed_commitments, perm_comms, assembly.selectors)
+    return VerifyingKey(
+        domain, cs, fixed_commitments, perm_comms, assembly.selectors, curve=params.curve
+    )
 
 
 def keygen_pk(params, vk: VerifyingKey, circuit, spec: FieldSpec | None = None, mesh=None) -> ProvingKey:

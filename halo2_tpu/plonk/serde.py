@@ -139,7 +139,9 @@ def read_vk(r, curve, circuit_cls, spec=None, fmt: SerdeFormat = SerdeFormat.PRO
             bits.extend(unpack(byte))
         selectors.append(np.asarray(bits[:n], dtype=bool))
     compress_selectors(cs, selectors)
-    return VerifyingKey(domain, cs, fixed_commitments, perm_commitments, selectors)
+    return VerifyingKey(
+        domain, cs, fixed_commitments, perm_commitments, selectors, curve=curve
+    )
 
 
 def vk_to_bytes(vk: VerifyingKey, curve, fmt: SerdeFormat = SerdeFormat.PROCESSED) -> bytes:

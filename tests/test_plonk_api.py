@@ -121,16 +121,43 @@ def test_plonk_api_shplonk(kzg_setup):
     )
 
 
-def test_pinned_vk_regression(kzg_setup):
-    """plonk_api.rs:624-626: lock circuit compilation determinism.
+def test_pinned_vk_matches_rust_reference():
+    """plonk_api.rs:622-626 — the `{:#?}` Debug string of the pinned VK,
+    byte-identical to the Rust reference.
 
-    The frozen digest is over this framework's own pinned() rendering (the
-    Rust Debug-string format is a separate tracked divergence, PARITY.md).
+    This is the strongest cross-implementation anchor in the suite: for it
+    to hold, omega, the whole constraint system (query dedup order, gates,
+    permutation columns, lookups), the SSWU-derived IPA SRS, every fixed
+    commitment (including lookup-table default fill and ZETA), and every
+    permutation sigma commitment must all be byte-exact with Rust.
     """
-    _, vk, _ = kzg_setup
-    pinned = repr(vk.pinned())
-    digest = hashlib.blake2b(pinned.encode(), digest_size=16).hexdigest()
-    assert digest == "d870825c92f3b718baedbd98fc5e86c2", pinned
+    from halo2_tpu.curves import VESTA
+    from halo2_tpu.plonk.rust_debug import pinned_vk_debug
+
+    spec = VESTA.scalar
+    empty = make_circuit(spec, with_witness=False)
+    params = ParamsIPA.setup(K, VESTA)  # EqAffine SRS, "Halo2-Parameters"
+    vk = keygen_vk(params, empty)
+    got = pinned_vk_debug(vk, VESTA.base.p, VESTA.scalar.p, alternate=True)
+    # sha256 of the exact 394-line string frozen in the reference's
+    # tests/plonk_api.rs:622-626 (compared in full against the reference
+    # checkout when present)
+    import os
+    import re
+
+    ref = "/root/reference/halo2_proofs/tests/plonk_api.rs"
+    if os.path.exists(ref):
+        m = re.search(r'r#####"(PinnedVerificationKey \{.*?)"#####', open(ref).read(), re.S)
+        assert got == m.group(1)
+    assert (
+        hashlib.sha256(got.encode()).hexdigest()
+        == "093a7bc1f3ccba4efcac3d5f4212b6b3edae1e4b2791b52078029ad00ae5146b"
+    )
+    # the transcript_repr derived from the compact {:?} string (the value
+    # every Rust proof transcript starts from)
+    assert vk.transcript_repr == (
+        0x1CDCAD9331146096EFAE2CAA7B690FFA5870C98E90A8B7509DDA04D118A2AD38
+    )
 
 
 # -- IPA ----------------------------------------------------------------------

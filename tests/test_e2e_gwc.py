@@ -57,3 +57,35 @@ def test_simple_circuit_proof_roundtrip(params):
     # wrong instance must fail
     bad = Blake2bTranscript(BN254_G1, proof)
     assert not verify_proof(params, vk, [[[(c + 1) % p]]], bad, gwc_verify_proof)
+
+
+def test_proof_verifies_through_real_pairing(params):
+    """verify_proof with params._s = None: the verifier must run the actual
+    optimal-ate Miller loop + final exponentiation (kzg/msm.rs:151-169),
+    not the known-s dev shortcut (VERDICT r3 weak #4)."""
+    spec = BN254_G1.scalar
+    p = spec.p
+    constant = 7
+    a = 5
+    c = constant * pow(a, 4, p) % p
+
+    circuit = SimpleCircuit(constant, Value.known(a))
+    vk = keygen_vk(params, circuit.without_witnesses())
+    pk = keygen_pk(params, vk, circuit.without_witnesses())
+    rng = FieldRng(spec, b"proof-rng-pairing")
+    transcript = Blake2bTranscript(BN254_G1)
+    proof = create_proof(
+        params, pk, [circuit], [[[c]]], rng, transcript, gwc_create_proof
+    )
+
+    saved = params._s
+    try:
+        params._s = None  # simulate externally loaded params
+        tr = Blake2bTranscript(BN254_G1, proof)
+        assert verify_proof(params, vk, [[[c]]], tr, gwc_verify_proof)
+        bad = Blake2bTranscript(BN254_G1, proof)
+        assert not verify_proof(
+            params, vk, [[[(c + 1) % p]]], bad, gwc_verify_proof
+        )
+    finally:
+        params._s = saved

@@ -1,0 +1,119 @@
+"""Windowed fixed-base scalar mul: constants generation + full-width/short
+circuits vs host arithmetic (ecc/chip/mul_fixed/{full_width,short}.rs analog)."""
+
+import pytest
+
+from halo2_tpu.circuit import Circuit, Value
+from halo2_tpu.curves import PALLAS, host
+from halo2_tpu.dev.mock_prover import MockProver
+from halo2_tpu.fields.spec import PASTA_FP
+from halo2_tpu.gadgets.ecc import EccChip
+from halo2_tpu.gadgets.ecc.mul_fixed import (
+    FQ,
+    H,
+    NUM_WINDOWS,
+    NUM_WINDOWS_SHORT,
+    FixedPointParams,
+    MulFixedChip,
+    compute_window_table,
+    find_zs_and_us,
+    lagrange_interpolate,
+)
+
+G = host.generator(PALLAS)
+BASE = host.mul(PALLAS, G, 0xDEADBEEF)  # an arbitrary fixed base
+BASE_PARAMS = FixedPointParams(BASE, NUM_WINDOWS)
+BASE_PARAMS_SHORT = FixedPointParams(BASE, NUM_WINDOWS_SHORT)
+
+
+def test_window_table_sums():
+    """Summing one entry per window with the +2 offsets cancels to [k]B
+    (constants.rs:40-81 invariant)."""
+    table = BASE_PARAMS.window_table
+    # scalar = 1: windows k_0 = 1, rest 0
+    acc = None
+    ks = [1] + [0] * (NUM_WINDOWS - 1)
+    for w, k in enumerate(ks):
+        acc = host.add(PALLAS, acc, table[w][k])
+    assert acc == BASE
+
+
+def test_lagrange_interpolation_roundtrip():
+    table = BASE_PARAMS.window_table
+    coeffs = BASE_PARAMS.lagrange_coeffs
+    p = PASTA_FP.p
+    for w in (0, 7, NUM_WINDOWS - 1):
+        for k in range(H):
+            x = sum(c * pow(k, d, p) for d, c in enumerate(coeffs[w])) % p
+            assert x == table[w][k][0]
+
+
+def test_zs_and_us_property():
+    zs_us = FixedPointParams(BASE, 3).zs_and_us  # small num_windows for speed
+    table = compute_window_table(BASE, 3)
+    p = PASTA_FP.p
+    for (z, us), window in zip(zs_us, table):
+        for u, pt in zip(us, window):
+            y = pt[1]
+            assert (u * u) % p == (z + y) % p
+            assert PASTA_FP.sqrt((z - y) % p) is None
+
+
+class FixedMulCircuit(Circuit):
+    def __init__(self, scalar, expected, short=False):
+        self.scalar, self.expected, self.short = scalar, expected, short
+
+    def without_witnesses(self):
+        return FixedMulCircuit(Value.unknown(), self.expected, self.short)
+
+    @classmethod
+    def configure(cls, meta):
+        advices = [meta.advice_column() for _ in range(11)]
+        constants = meta.fixed_column()
+        meta.enable_constant(constants)
+        ecc = EccChip.configure(meta, advices[:9])
+        return MulFixedChip.configure(meta, ecc, advices[9], advices[10])
+
+    def synthesize(self, config, layouter):
+        chip = MulFixedChip(config)
+        if self.short:
+            r = chip.mul_short(layouter, self.scalar, BASE)
+        else:
+            r = chip.mul_full_width(layouter, self.scalar, BASE)
+        if not r.x.value.is_none() and self.expected is not None:
+            got = r.value().value()
+            assert got == self.expected, (got, self.expected)
+
+
+def _run_full(scalar_int):
+    expected = host.mul(PALLAS, BASE, scalar_int % FQ)
+    circ = FixedMulCircuit(Value.known(scalar_int), expected)
+    return MockProver.run(PASTA_FP, 9, circ, []).verify()
+
+
+def _run_short(magnitude, sign):
+    k = magnitude * sign % FQ
+    expected = host.mul(PALLAS, BASE, k)
+    circ = FixedMulCircuit(Value.known((magnitude, sign)), expected, short=True)
+    return MockProver.run(PASTA_FP, 9, circ, []).verify()
+
+
+def test_full_width_small_scalar():
+    assert _run_full(0xABCDEF0123456789) == []
+
+
+def test_full_width_large_scalar():
+    # scalar >= 2^254: unrepresentable in the old per-bit mul (VERDICT r3 #6)
+    assert _run_full(FQ - 1) == []
+    assert _run_full((1 << 254) + 12345) == []
+
+
+def test_short_positive_negative():
+    assert _run_short(0xFFFFFFFFFFFFFFFF, 1) == []  # max 64-bit magnitude
+    assert _run_short(12345678, -1) == []
+
+
+def test_short_rejects_oversized_magnitude():
+    # magnitude >= 2^64 must fail the running-sum range constraint
+    circ = FixedMulCircuit(Value.known(((1 << 64) + 3, 1)), None, short=True)
+    assert MockProver.run(PASTA_FP, 9, circ, []).verify() != []

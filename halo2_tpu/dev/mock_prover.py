@@ -39,8 +39,43 @@ class VerifyFailure:
     region: Optional[str] = None
     lookup_index: Optional[int] = None
     column: Optional[object] = None
+    # reference-parity metadata (dev/failure.rs)
+    gate_index: Optional[int] = None
+    constraint_index: Optional[int] = None
+    location: Optional[object] = None  # FailureLocation
+    cell_values: Optional[tuple] = None  # ((virtual_cell_str, value_str), ...)
+    name: Optional[str] = None  # lookup name
 
     def __str__(self):
+        """Reference Display wording (dev/failure.rs:191-255) when location
+        metadata is present; compact key=value rendering otherwise."""
+        from .failure import column_str, constraint_str, render_cell_values
+
+        if self.kind == "ConstraintNotSatisfied" and self.location is not None:
+            head = constraint_str(
+                self.gate_index, self.gate, self.constraint_index, self.constraint or ""
+            )
+            body = render_cell_values(list(self.cell_values or ()))
+            return f"{head} is not satisfied {self.location}{body}"
+        if self.kind == "ConstraintPoisoned" and self.gate_index is not None:
+            head = constraint_str(
+                self.gate_index, self.gate, self.constraint_index, self.constraint or ""
+            )
+            return f"{head} is active on an unusable row - missing selector?"
+        if self.kind == "Lookup" and self.location is not None:
+            return (
+                f"Lookup {self.name}(index: {self.lookup_index}) is not "
+                f"satisfied {self.location}"
+            )
+        if self.kind == "Permutation" and self.location is not None:
+            col = column_str(self.column.kind, self.column.index)
+            return f"Equality constraint not satisfied by cell ({col}, {self.location})"
+        if self.kind == "CellNotAssigned" and self.column is not None and self.gate:
+            col = column_str(self.column.kind, self.column.index)
+            return (
+                f"Region ('{self.region}') uses Gate ('{self.gate}') which "
+                f"requires cell in column {col} at row {self.row} to be assigned."
+            )
         parts = [self.kind]
         if self.gate:
             parts.append(f"gate={self.gate!r}")
@@ -328,6 +363,56 @@ class MockProver(Assignment):
 
         return go(expr)
 
+    def _constraint_failure(self, kind, gate_index, gate, cidx, cname, row, poly):
+        from .failure import FailureLocation
+
+        loc = FailureLocation.find_expressions(self.cs, self.regions, row, [poly])
+        cell_values = None
+        if kind == "ConstraintNotSatisfied":
+            cell_values = tuple(self._collect_cell_values(poly, row))
+        return VerifyFailure(
+            kind,
+            gate=gate.name,
+            constraint=cname,
+            row=row,
+            gate_index=gate_index,
+            constraint_index=cidx,
+            location=loc,
+            cell_values=cell_values,
+        )
+
+    def _collect_cell_values(self, poly, row):
+        """Virtual cells queried by the constraint + their values at the row
+        (failure.rs cell_values via util::cell_value)."""
+        from ..plonk.circuit import AdviceExpr, FixedExpr, InstanceExpr
+        from .failure import column_str
+
+        out, seen = [], set()
+
+        def walk(e):
+            if isinstance(e, (FixedExpr, AdviceExpr, InstanceExpr)):
+                q = e.query
+                kind = (
+                    FIXED
+                    if isinstance(e, FixedExpr)
+                    else ADVICE if isinstance(e, AdviceExpr) else INSTANCE
+                )
+                key = (kind, q.column_index, q.rotation.i)
+                if key not in seen:
+                    seen.add(key)
+                    v = self._cell(kind, q.column_index, (row + q.rotation.i) % self.n)
+                    vs = hex(v) if isinstance(v, int) else str(v)
+                    out.append(
+                        (f"{column_str(kind, q.column_index)}@{q.rotation.i}", vs)
+                    )
+            for attr in ("expr", "a", "b"):
+                child = getattr(e, attr, None)
+                if child is not None:
+                    walk(child)
+
+        walk(poly)
+        return out
+
     def _verify_gates_vec(self, failures):
         import numpy as np
 
@@ -335,8 +420,10 @@ class MockProver(Assignment):
 
         cols = self._vec_columns()
         usable = self.usable_rows
-        for gate in self.cs.gates:
-            for cname, poly in zip(gate.constraint_names, gate.polys):
+        for gi, gate in enumerate(self.cs.gates):
+            for ci, (cname, poly) in enumerate(
+                zip(gate.constraint_names, gate.polys)
+            ):
                 vals, poison = self._eval_expr_vec(poly, cols)
                 nonzero = ~np.asarray(limb.is_zero(vals))
                 # iterate flagged rows only (ascending): the dense per-row
@@ -344,20 +431,12 @@ class MockProver(Assignment):
                 flagged = np.flatnonzero(poison[:usable] | nonzero[:usable])
                 for row in flagged:
                     row = int(row)
-                    if poison[row]:
-                        failures.append(
-                            VerifyFailure(
-                                "ConstraintPoisoned", gate=gate.name,
-                                constraint=cname, row=row,
-                            )
-                        )
-                    else:
-                        failures.append(
-                            VerifyFailure(
-                                "ConstraintNotSatisfied", gate=gate.name,
-                                constraint=cname, row=row,
-                            )
-                        )
+                    kind = (
+                        "ConstraintPoisoned" if poison[row] else "ConstraintNotSatisfied"
+                    )
+                    failures.append(
+                        self._constraint_failure(kind, gi, gate, ci, cname, row, poly)
+                    )
         return cols
 
     def _verify_lookups_vec(self, failures, cols):
@@ -385,9 +464,7 @@ class MockProver(Assignment):
                 if any(m[row] for m in input_masks):
                     continue
                 if tuple(c[row] for c in input_cols) not in table:
-                    failures.append(
-                        VerifyFailure("Lookup", lookup_index=lk_idx, row=row)
-                    )
+                    failures.append(self._lookup_failure(lk_idx, arg, row))
 
     def verify(self, vectorized: Optional[bool] = None) -> List[VerifyFailure]:
         """``vectorized=None`` auto-selects: device whole-column evaluation for
@@ -434,13 +511,30 @@ class MockProver(Assignment):
                                     )
                                 )
 
+    def _lookup_failure(self, lk_idx, arg, row):
+        from .failure import FailureLocation
+
+        loc = FailureLocation.find_expressions(
+            self.cs, self.regions, row, arg.input_expressions
+        )
+        return VerifyFailure(
+            "Lookup", lookup_index=lk_idx, row=row, name=arg.name, location=loc
+        )
+
     def _check_copies(self, failures):
+        from .failure import FailureLocation
+
         for left_col, left_row, right_col, right_row in self.copies:
             lv = self._cell(left_col.kind, left_col.index, left_row)
             rv = self._cell(right_col.kind, right_col.index, right_row)
             if lv in (UNASSIGNED, POISON) or rv in (UNASSIGNED, POISON) or lv != rv:
+                loc = FailureLocation.find(
+                    self.regions, left_row, {(left_col.kind, left_col.index)}
+                )
                 failures.append(
-                    VerifyFailure("Permutation", row=left_row, column=left_col)
+                    VerifyFailure(
+                        "Permutation", row=left_row, column=left_col, location=loc
+                    )
                 )
 
     def _verify_python(self) -> List[VerifyFailure]:
@@ -452,23 +546,23 @@ class MockProver(Assignment):
         self._check_cells_assigned(failures)
 
         # gate constraints on every usable row
-        for gate in cs.gates:
-            for cname, poly in zip(gate.constraint_names, gate.polys):
+        for gi, gate in enumerate(cs.gates):
+            for ci, (cname, poly) in enumerate(
+                zip(gate.constraint_names, gate.polys)
+            ):
                 for row in range(self.n):
                     v = self._eval_expr(poly, row)
                     if v == POISON:
                         if row < self.usable_rows:
                             failures.append(
-                                VerifyFailure(
-                                    "ConstraintPoisoned", gate=gate.name,
-                                    constraint=cname, row=row,
+                                self._constraint_failure(
+                                    "ConstraintPoisoned", gi, gate, ci, cname, row, poly
                                 )
                             )
                     elif v != 0 and row < self.usable_rows:
                         failures.append(
-                            VerifyFailure(
-                                "ConstraintNotSatisfied", gate=gate.name,
-                                constraint=cname, row=row,
+                            self._constraint_failure(
+                                "ConstraintNotSatisfied", gi, gate, ci, cname, row, poly
                             )
                         )
 
@@ -488,9 +582,7 @@ class MockProver(Assignment):
                 if POISON in inputs:
                     continue
                 if inputs not in table:
-                    failures.append(
-                        VerifyFailure("Lookup", lookup_index=lk_idx, row=row)
-                    )
+                    failures.append(self._lookup_failure(lk_idx, arg, row))
 
         # permutation copies: shared with the vectorized path
         self._check_copies(failures)

@@ -42,11 +42,32 @@ def test_vectorized_verify_matches_python():
     good = MockProver.run(spec, 5, StandardPlonkCircuit(Value.known(a), table), [[2]])
     assert good.verify(vectorized=False) == good.verify(vectorized=True) == []
 
+    # a consistent-but-wrong witness breaks only the lookup (the gates are
+    # self-consistent in the tampered witness)
     bad = MockProver.run(
         spec, 5, StandardPlonkCircuit(Value.known((a + 1) % spec.p), table), [[2]]
     )
     f_py = bad.verify(vectorized=False)
     f_vec = bad.verify(vectorized=True)
     assert f_py == f_vec
-    assert any(f.kind == "ConstraintNotSatisfied" for f in f_py)
     assert any(f.kind == "Lookup" for f in f_py)
+
+    # tampering one assigned cell after synthesis breaks a gate row: both
+    # paths must agree on the ConstraintNotSatisfied failure too
+    tampered = MockProver.run(
+        spec, 5, StandardPlonkCircuit(Value.known(a), table), [[2]]
+    )
+    # advice column 3 is c (the mult output; creation order e,a,b,c,d);
+    # find an assigned row and corrupt it
+    col = 3
+    row = next(
+        r for r, v in enumerate(tampered.advice[col]) if isinstance(v, int) and v != 0
+    )
+    tampered.advice[col][row] = (tampered.advice[col][row] + 1) % spec.p
+    t_py = tampered.verify(vectorized=False)
+    t_vec = tampered.verify(vectorized=True)
+    assert t_py == t_vec
+    assert any(f.kind == "ConstraintNotSatisfied" for f in t_py)
+    # failure rendering follows the reference Display format (failure.rs:191)
+    msg = str(next(f for f in t_py if f.kind == "ConstraintNotSatisfied"))
+    assert "is not satisfied in Region" in msg and "at offset" in msg, msg

@@ -321,7 +321,7 @@ class EccChip:
     # scalar multiplication
     # ------------------------------------------------------------------
 
-    NUM_BITS = 254  # scalars must be < 2^254 (< p); see mul docstring
+    NUM_BITS = 254  # default mul width; mul_alpha covers the full field range
 
     def mul(self, layouter: Layouter, scalar: Value, base: EccPoint):
         """Variable-base scalar mul: returns ([scalar] base, scalar_cell).
@@ -332,10 +332,44 @@ class EccChip:
         wins).  The scalar is decomposed into 254 boolean-constrained bits
         chained through a running sum z_i = 2 z_{i+1} + b_i with z_254
         pinned to 0; the final z_0 cell IS the scalar (returned so callers
-        can constrain it).  Since 2^254 < p, the decomposition is an exact
-        integer equality — scalars in [2^254, q) are not representable
-        (divergence from mul/overflow.rs, tracked in PARITY.md).
+        can constrain it).  For scalars in [2^254, p) use ``mul_alpha``,
+        which extends to 255 bits and adds the canonicity/overflow check
+        (mul/overflow.rs semantics).
         """
+        acc, z_cell, _ = self._mul_bits(layouter, scalar, base, self.NUM_BITS)
+        return acc, z_cell
+
+    def mul_alpha(self, layouter: Layouter, alpha_cell, base: EccPoint, mul_fixed_chip):
+        """[alpha]B for a full-range base-field cell (0 <= alpha < p).
+
+        Replaces the reference's variable-base overflow machinery
+        (ecc/chip/mul/overflow.rs): the scalar is decomposed into 255 bits,
+        the bit chain's final running sum is equality-bound to ``alpha_cell``,
+        and the mod-p ambiguity of a 255-bit decomposition (k vs k + p) is
+        eliminated by enforcing that the decomposition is the *canonical*
+        alpha < p via the shared three-piece canonicity gate
+        (MulFixedChip.canonicity_check).  The bit chain's intermediate values
+        provide the needed window sums: alpha >> 252 after 3 steps,
+        alpha >> 132 after 123, alpha >> 129 after 126.
+        """
+        from .mul_fixed import _ev_int
+
+        alpha_v = alpha_cell.value.map(_ev_int)
+        acc, z_cell, zs = self._mul_bits(layouter, alpha_v, base, 255)
+
+        def bind(region: Region):
+            region.constrain_equal(z_cell.cell, alpha_cell.cell)
+
+        layouter.namespace("bind alpha").assign_region("bind alpha", bind)
+        mul_fixed_chip.canonicity_check(
+            layouter, alpha_cell, zs[125], zs[122], zs[2]
+        )
+        return acc
+
+    def _mul_bits(self, layouter: Layouter, scalar: Value, base: EccPoint, num_bits: int):
+        """Shared double-and-add loop; returns (acc, final_z_cell, z_cells)
+        where z_cells[i] is the running sum after i+1 steps (the value of the
+        top i+1 bits of the scalar)."""
         config = self.config
         fp = self.curve.base.p
 
@@ -351,12 +385,13 @@ class EccChip:
         acc = layouter.namespace("mul init").assign_region("mul init", init)
 
         bits = scalar.map(
-            lambda v: [(v >> i) & 1 for i in reversed(range(self.NUM_BITS))]
+            lambda v: [(v >> i) & 1 for i in reversed(range(num_bits))]
         )
-        z_prev_cell = None  # z_254 pinned to 0 inside the first step region
+        z_prev_cell = None  # z_{num_bits} pinned to 0 inside the first step region
         z_val = Value.known(0)
+        z_cells = []
 
-        for i in range(self.NUM_BITS):
+        for i in range(num_bits):
             doubled = self.add(layouter, acc, acc)
             summed = self.add(layouter, doubled, base)
             bit_i = bits.map(lambda bs, i=i: bs[i])
@@ -394,9 +429,10 @@ class EccChip:
             acc, z_prev_cell = layouter.namespace(f"mul step {i}").assign_region(
                 f"mul step {i}", step
             )
+            z_cells.append(z_prev_cell)
             z_val = z_new_val
 
-        return acc, z_prev_cell
+        return acc, z_prev_cell, z_cells
 
     def mul_fixed(self, layouter: Layouter, scalar: Value, base_xy):
         """Fixed-base mul: the base is pinned to circuit constants.

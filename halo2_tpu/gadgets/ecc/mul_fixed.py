@@ -49,6 +49,8 @@ NUM_WINDOWS_SHORT = (64 + FIXED_BASE_WINDOW_SIZE - 1) // FIXED_BASE_WINDOW_SIZE
 
 FP = PALLAS.base.p
 FQ = PALLAS.scalar.p
+# t_p = p - 2^254 (base_field_elem.rs T_P; t_p < 2^130)
+T_P = FP - (1 << 254)
 
 
 # ---------------------------------------------------------------------------
@@ -196,6 +198,10 @@ class MulFixedConfig:
     q_mul_fixed_full: Selector
     q_mul_fixed_short: Selector
     running_sum_config: RunningSumConfig
+    # base-field-element variant (base_field_elem.rs); None when not configured
+    q_mul_fixed_base_field: Optional[Selector] = None
+    canon_advices: Optional[List[Column]] = None
+    lookup_config: Optional[object] = None  # LookupRangeCheckConfig
 
 
 def _coords_check(cells, config: MulFixedConfig, window_expr):
@@ -287,6 +293,64 @@ class MulFixedChip:
             ]
 
         meta.create_gate("Short fixed-base mul gate", short_gate)
+        return config
+
+    @classmethod
+    def configure_base_field(
+        cls,
+        meta: ConstraintSystem,
+        config: MulFixedConfig,
+        canon_advices: List[Column],
+        lookup_config,
+    ) -> MulFixedConfig:
+        """Add the base-field-element canonicity gate (base_field_elem.rs:59-160).
+
+        ``canon_advices``: 3 equality-enabled advice columns distinct from the
+        ECC chip's x_p/y_p/x_qr/y_qr.
+        """
+        assert len(canon_advices) == 3
+        for advice in canon_advices:
+            meta.enable_equality(advice)
+        config.q_mul_fixed_base_field = meta.selector()
+        config.canon_advices = list(canon_advices)
+        config.lookup_config = lookup_config
+        c0, c1, c2 = canon_advices
+
+        def canon_gate(cells):
+            q = cells.query_selector(config.q_mul_fixed_base_field)
+            alpha = cells.query_advice(c0, Rotation.prev())
+            z_84_alpha = cells.query_advice(c2, Rotation.prev())
+            # alpha = alpha_0 (252 bits) || alpha_1 (2 bits) || alpha_2 (1 bit)
+            alpha_0 = alpha - z_84_alpha * (1 << 252)
+            alpha_1 = cells.query_advice(c1, Rotation.cur())
+            alpha_2 = cells.query_advice(c2, Rotation.cur())
+            alpha_0_prime = cells.query_advice(c0, Rotation.cur())
+            z_13_alpha_0_prime = cells.query_advice(c0, Rotation.next())
+            z_44_alpha = cells.query_advice(c1, Rotation.next())
+            z_43_alpha = cells.query_advice(c2, Rotation.next())
+
+            one = Constant(1)
+            # decomposition checks
+            alpha_1_range = alpha_1 * (alpha_1 - one) * (alpha_1 - 2) * (alpha_1 - 3)
+            alpha_2_bool = alpha_2 * (alpha_2 - one)
+            z_84_check = z_84_alpha - (alpha_1 + alpha_2 * 4)
+            # alpha_0_prime = alpha_0 + 2^130 - t_p
+            alpha_0_prime_check = alpha_0_prime - (alpha_0 + Constant((1 << 130) - T_P))
+            # canonicity when the MSB is set
+            alpha_0_hi_120 = z_44_alpha - z_84_alpha * (1 << 120)
+            a_43 = z_43_alpha - z_44_alpha * H
+            return [
+                ("MSB = 1 => alpha_1 = 0", q * (alpha_2 * alpha_1)),
+                ("MSB = 1 => alpha_0_hi_120 = 0", q * (alpha_2 * alpha_0_hi_120)),
+                ("MSB = 1 => a_43 = 0 or 1", q * (alpha_2 * (a_43 * (a_43 - one)))),
+                ("MSB = 1 => z_13_alpha_0_prime = 0", q * (alpha_2 * z_13_alpha_0_prime)),
+                ("alpha_1_range_check", q * alpha_1_range),
+                ("alpha_2_range_check", q * alpha_2_bool),
+                ("z_84_alpha_check", q * z_84_check),
+                ("alpha_0_prime check", q * alpha_0_prime_check),
+            ]
+
+        meta.create_gate("Canonicity checks", canon_gate)
         return config
 
     # -- shared window-row assignment ---------------------------------------
@@ -405,6 +469,11 @@ class MulFixedChip:
         )
         magnitude_result = self._fold_windows(layouter, mul_bs)
 
+        return self._finish_short(layouter, magnitude_result, sign_v, windows_v)
+
+    def _finish_short(self, layouter, magnitude_result, sign_v, windows_v):
+        config = self.config
+
         # conditional negation (short.rs:35-80 + assign:150-240)
         def negate(region: Region):
             config.q_mul_fixed_short.enable(region, 0)
@@ -422,3 +491,101 @@ class MulFixedChip:
         return layouter.namespace("short negate").assign_region(
             "short conditional negation", negate
         )
+
+    # -- base field element (base_field_elem.rs) ----------------------------
+
+    def mul_base_field(self, layouter: Layouter, scalar_cell, base: Tuple[int, int]) -> EccPoint:
+        """[alpha]B where alpha is an existing base-field cell, with full
+        canonicity enforcement (0 <= alpha < p) via the three-piece
+        decomposition and conditional t_p checks (base_field_elem.rs:162-330).
+        """
+        config = self.config
+        assert config.q_mul_fixed_base_field is not None, "configure_base_field first"
+        params = FixedPointParams(base, NUM_WINDOWS)
+
+        alpha_v = scalar_cell.value.map(_ev_int)
+
+        # running-sum decomposition of alpha (z_0 = alpha, strict z_85 = 0)
+        def decomp(region: Region):
+            z0 = scalar_cell.copy_advice(region, config.window, 0)
+            zs = [z0]
+            for i in range(NUM_WINDOWS):
+                z_next = alpha_v.map(lambda v, i=i: _shift_windows(v, i + 1))
+                zs.append(region.assign_advice(config.window, i + 1, lambda v=z_next: v))
+            region.constrain_constant(zs[-1].cell, 0)
+            return zs
+
+        running_zs = layouter.namespace("base-field decompose").assign_region(
+            "base-field elem decomposition", decomp
+        )
+
+        windows_v = [
+            alpha_v.map(lambda v, w=w: (v >> (3 * w)) & 7) for w in range(NUM_WINDOWS)
+        ]
+        mul_bs = self._assign_windows(
+            layouter, params, windows_v, enable_full=False, running_zs=running_zs
+        )
+        result = self._fold_windows(layouter, mul_bs)
+
+        self.canonicity_check(
+            layouter, scalar_cell, running_zs[43], running_zs[44], running_zs[84]
+        )
+        return result
+
+    def canonicity_check(self, layouter: Layouter, scalar_cell, z_43, z_44, z_84):
+        """Enforce 0 <= alpha < p for a base-field cell, given running-sum
+        cells z_43 = alpha >> 129, z_44 = alpha >> 132, z_84 = alpha >> 252
+        (base_field_elem.rs:240-330).  Also used by the variable-base mul's
+        overflow handling (mul/overflow.rs semantics) with the equivalent
+        intermediate values from its bit chain.
+        """
+        config = self.config
+        alpha_v = scalar_cell.value.map(_ev_int)
+
+        # canonicity: alpha = alpha_0 (252b) || alpha_1 (2b) || alpha_2 (1b)
+        alpha_0_prime_v = alpha_v.map(
+            lambda v: ((v & ((1 << 252) - 1)) + (1 << 130) - T_P) % FP
+        )
+        zs_prime = config.lookup_config.witness_check(
+            layouter.namespace("alpha_0_prime range check"),
+            alpha_0_prime_v,
+            13,
+            strict=False,
+        )
+        alpha_0_prime = zs_prime[0]
+        z_13_alpha_0_prime = zs_prime[13]
+
+        c0, c1, c2 = config.canon_advices
+
+        def canon(region: Region):
+            config.q_mul_fixed_base_field.enable(region, 1)
+            # offset 0: alpha, z_84
+            scalar_cell.copy_advice(region, c0, 0)
+            z_84.copy_advice(region, c2, 0)
+            # offset 1: alpha_0_prime, alpha_1, alpha_2
+            alpha_0_prime.copy_advice(region, c0, 1)
+            alpha_1_v = alpha_v.map(lambda v: (v >> 252) & 3)
+            region.assign_advice(c1, 1, lambda: alpha_1_v)
+            alpha_2_v = alpha_v.map(lambda v: (v >> 254) & 1)
+            region.assign_advice(c2, 1, lambda: alpha_2_v)
+            # offset 2: z_13_alpha_0_prime, z_44, z_43
+            z_13_alpha_0_prime.copy_advice(region, c0, 2)
+            z_44.copy_advice(region, c1, 2)
+            z_43.copy_advice(region, c2, 2)
+
+        layouter.namespace("canonicity").assign_region("Canonicity checks", canon)
+
+
+def _ev_int(v) -> int:
+    from ...circuit.value import Assigned
+
+    if isinstance(v, Assigned):
+        if v.denominator == 1:
+            return v.numerator % FP
+        return v.numerator * pow(v.denominator, -1, FP) % FP
+    return v % FP
+
+
+def _shift_windows(v: int, k: int) -> int:
+    """z_k of the 3-bit running sum of v (v >> 3k)."""
+    return v >> (3 * k)

@@ -385,3 +385,27 @@ class HashDomainGadget:
     def hash(self, layouter: Layouter, message: List[MessagePiece]):
         point, zs = self.hash_to_point(layouter, message)
         return SinsemillaChip.extract(point), zs
+
+
+class CommitDomainGadget:
+    """Circuit-side CommitDomain (sinsemilla.rs:612-755): commit(msg, r) =
+    hash_to_point(msg) + [r]R with R a fixed base (windowed full-width mul)."""
+
+    def __init__(self, sin_chip: SinsemillaChip, mul_fixed_chip, Q, R):
+        self.M = HashDomainGadget(sin_chip, Q)
+        self.mul_fixed_chip = mul_fixed_chip
+        self.R = R
+
+    def commit(self, layouter: Layouter, message: List[MessagePiece], r: Value):
+        """Returns ((x_cell, y_cell) EccPoint, zs)."""
+        from ..ecc.chip import EccPoint
+
+        (blind,) = (self.mul_fixed_chip.mul_full_width(layouter, r, self.R),)
+        (hash_pt, zs) = self.M.hash_to_point(layouter, message)
+        hash_point = EccPoint(hash_pt[0], hash_pt[1])
+        result = self.mul_fixed_chip.ecc.add(layouter, hash_point, blind)
+        return result, zs
+
+    def short_commit(self, layouter: Layouter, message: List[MessagePiece], r: Value):
+        point, zs = self.commit(layouter, message, r)
+        return point.x, zs

@@ -129,15 +129,14 @@ def test_variable_base_mul_wrong_bit_fails():
     prover = MockProver.run(PASTA_FP, 11, t, [])
     assert prover.verify() == []  # consistent tampered witness still proves k+1
 
-    # flip one selected output coordinate -> select-x constraint fails
-    class BadSelect(MulCircuit):
-        def synthesize(self, config, layouter):
-            chip = EccChip(config)
-            base = chip.witness_point(layouter, self.base)
-            result, z = chip.mul(
-                layouter, self.scalar, EccPoint(base.y, base.x)  # swapped coords
-            )
-
-    from halo2_tpu.gadgets.ecc.chip import EccPoint
-    bad = BadSelect(Value.known(k), Value.known(G), None)
-    assert MockProver.run(PASTA_FP, 11, bad, []).verify() != []
+    # corrupt one decomposition bit cell (lam column of a mul-step row) so
+    # the "bit boolean" constraint fails
+    bad = MockProver.run(PASTA_FP, 11, MulCircuit(Value.known(k), Value.known(G), None), [])
+    step_region = next(r for r in bad.regions if r.name.startswith("mul step 5"))
+    row = min(step_region.rows)
+    bad.advice[4][row] = 2  # advices[4] is the lam/bit column
+    failures = bad.verify()
+    assert any(
+        f.kind == "ConstraintNotSatisfied" and f.constraint == "bit boolean"
+        for f in failures
+    ), [str(f) for f in failures[:3]]

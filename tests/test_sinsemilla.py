@@ -184,3 +184,70 @@ def test_merkle_path_depth32():
         Value.known(leaf), Value.known(pos), Value.known(path), depth, expected
     )
     assert MockProver.run(PASTA_FP, 12, circ, []).verify() == []
+
+
+# ---------------------------------------------------------------------------
+# CommitDomain in-circuit (sinsemilla.rs:612-755 + the reference's gadget
+# test, which drives commit through the ECC fixed-base machinery)
+# ---------------------------------------------------------------------------
+
+from halo2_tpu.curves import PALLAS, host
+from halo2_tpu.gadgets.ecc import EccChip
+from halo2_tpu.gadgets.ecc.mul_fixed import MulFixedChip
+from halo2_tpu.gadgets.sinsemilla.chip import CommitDomainGadget
+
+COMMIT_DOMAIN = prim.CommitDomain("z.cash:test-commit")
+
+
+class CommitCircuit(Circuit):
+    def __init__(self, bits, r, expected):
+        self.bits, self.r, self.expected = bits, r, expected
+
+    def without_witnesses(self):
+        return CommitCircuit(
+            [Value.unknown()] * len(self.bits), Value.unknown(), self.expected
+        )
+
+    @classmethod
+    def configure(cls, meta):
+        advices = [meta.advice_column() for _ in range(12)]
+        constants = meta.fixed_column()
+        meta.enable_constant(constants)
+        fixed_y_q = meta.fixed_column()
+        table_idx = meta.lookup_table_column()
+        table_x = meta.lookup_table_column()
+        table_y = meta.lookup_table_column()
+        range_check = LookupRangeCheckConfig.configure(
+            meta, advices[8], table_idx, K, PASTA_FP
+        )
+        sin_config = SinsemillaChip.configure(
+            meta, advices[:5], advices[9], fixed_y_q,
+            (table_idx, table_x, table_y), range_check,
+        )
+        ecc_config = EccChip.configure(meta, advices[:9])
+        mf_config = MulFixedChip.configure(meta, ecc_config, advices[10], advices[11])
+        return sin_config, mf_config
+
+    def synthesize(self, config, layouter):
+        sin_config, mf_config = config
+        SinsemillaChip.load(sin_config, layouter)
+        sin_chip = SinsemillaChip(sin_config)
+        mf_chip = MulFixedChip(mf_config)
+        domain = CommitDomainGadget(
+            sin_chip, mf_chip, COMMIT_DOMAIN.M.Q, COMMIT_DOMAIN.R
+        )
+        pieces = message_from_bitstring(sin_chip, layouter, self.bits)
+        point, zs = domain.commit(layouter, pieces, self.r)
+        if not point.x.value.is_none() and self.expected is not None:
+            got = point.value().value()
+            assert got == self.expected, (got, self.expected)
+
+
+def test_commit_domain_circuit():
+    nbits = 2 * K
+    val = 0b1011001110_0100110101
+    bits = i2lebsp(val, nbits)
+    r = 0x2C45DEADBEEF1234567890
+    expected = COMMIT_DOMAIN.commit(bits, r)
+    circ = CommitCircuit([Value.known(b) for b in bits], Value.known(r), expected)
+    assert MockProver.run(PASTA_FP, 11, circ, []).verify() == []

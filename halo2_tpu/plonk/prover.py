@@ -12,6 +12,7 @@ derivation, lookup multiset matching.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional
 
 import jax
@@ -119,6 +120,21 @@ class ProverQuery:
 # ---------------------------------------------------------------------------
 
 
+def _sanity_checks_enabled() -> bool:
+    """In-prover well-formedness asserts, the analog of the reference's
+    `sanity-checks` cargo feature (lookup/prover.rs:252-288,
+    permutation/prover.rs).  Off by default: they force device->host syncs."""
+    return os.environ.get("HALO2_TPU_SANITY_CHECKS") == "1"
+
+
+def _assert_product_telescopes(spec: FieldSpec, z: jnp.ndarray, u: int, what: str):
+    """z[0] = 1 and z[u] = 1 — the grand product telescopes back to one.
+    A z[u] != 1 here means soundness is already broken upstream."""
+    z0, zu = limb.to_ints(spec, z[:, [0, u]])
+    assert z0 == 1, f"{what}: z[0] = {z0} != 1"
+    assert zu == 1, f"{what}: z[u] = {zu} != 1 (soundness broken)"
+
+
 def _prefix_product_with_start(spec: FieldSpec, mv: jnp.ndarray, start: jnp.ndarray):
     """z[0] = start, z[i] = start * prod_{r<i} mv[r]  (grand-product scan)."""
     t = jnp.moveaxis(mv, 1, 0)
@@ -222,6 +238,12 @@ def _permutation_commit(
         zc = domain.lagrange_to_coeff(Poly(z, LAGRANGE))
         coset = domain.coeff_to_extended(zc)
         sets.append(PermutationCommittedSet(zc, coset.values, z_blind))
+    if _sanity_checks_enabled() and sets:
+        # across all chunks the permutation grand product telescopes to 1:
+        # the final chunk's chained last_z must be one (permutation/prover.rs
+        # sanity analog)
+        final = limb.to_ints(spec, last_z.reshape(NLIMBS, 1))[0]
+        assert final == 1, f"permutation product: final z = {final} != 1"
     return PermutationCommitted(sets)
 
 
@@ -326,6 +348,8 @@ def _lookup_commit_product(
     prod = limb.fmul(spec, prod, limb.fadd(spec, permuted["comp_table"], gamma_b))
 
     z = _prefix_product_with_start(spec, prod, limb.from_int(spec, 1))
+    if _sanity_checks_enabled():
+        _assert_product_telescopes(spec, z, n - (bf + 1), "lookup product")
     blinds = limb.from_ints(spec, [rng() for _ in range(bf)])
     z = _set_rows(z, n - bf, blinds)
 

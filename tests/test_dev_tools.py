@@ -96,3 +96,22 @@ def test_selector_compression_packs_disjoint():
     assert cs.num_fixed_columns == before + 1
     assert len(values) == 1
     assert values[0][0] == 1 and values[0][1] == 2
+
+
+def test_circuit_dot_graph_and_layout():
+    """dev-graph analogs (dev/graph.rs + graph/layout.rs): DOT call tree and
+    SVG layout render for a small circuit."""
+    from circuits import SimpleCircuit
+
+    from halo2_tpu.circuit import Value
+    from halo2_tpu.dev.graph import CircuitLayout, circuit_dot_graph
+    from halo2_tpu.fields import BN254_FR
+
+    circuit = SimpleCircuit(7, Value.known(5))
+    dot = circuit_dot_graph(BN254_FR, circuit)
+    assert dot.startswith("digraph {") and dot.rstrip().endswith("}")
+    assert "region" in dot and "->" in dot
+
+    svg = CircuitLayout().render(BN254_FR, 4, circuit, [[7 * 5**4 % BN254_FR.p]])
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert "rect" in svg and "load private" in svg or "<text" in svg

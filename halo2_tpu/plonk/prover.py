@@ -25,6 +25,7 @@ from ..fields import limb
 from ..fields.spec import NLIMBS, FieldSpec
 from ..ops import arith, ntt as ntt_ops
 from ..plonk.error import InstanceTooLarge, NotEnoughRowsAvailable
+from ..utils import profiling
 from ..poly.domain import EvaluationDomain
 from ..poly.polynomial import COEFF, LAGRANGE, Poly, Rotation
 from .circuit import ConstraintSystem
@@ -168,6 +169,7 @@ def _write_commitment(params, transcript, values_lagrange: jnp.ndarray, blind: i
 # ---------------------------------------------------------------------------
 
 
+@profiling.profiled("permutation: grand products + commits")
 def _permutation_commit(
     params, pk: ProvingKey, advice_values, fixed_values, instance_values,
     beta: int, gamma: int, rng, transcript,
@@ -283,6 +285,7 @@ def _permute_expression_pair(pk, rng, input_vals: List[int], table_vals: List[in
     return permuted_input, permuted_table
 
 
+@profiling.profiled("lookup: permute + commit")
 def _lookup_commit_permuted(
     arg, params, pk, theta_b, advice_values, fixed_values, instance_values,
     challenges_dev, rng, transcript,
@@ -328,6 +331,7 @@ def _lookup_write_permuted_table(params, transcript, permuted):
     _write_commitment(params, transcript, permuted["perm_table"], permuted["table_blind"])
 
 
+@profiling.profiled("lookup: product commit")
 def _lookup_commit_product(
     permuted, params, pk, beta: int, gamma: int, rng, transcript
 ) -> LookupCommitted:
@@ -537,18 +541,19 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
     ]
     instance_polys = [s["polys"] for s in instance_singles]
 
-    h_poly = pk.ev.evaluate_h(
-        pk,
-        advice_polys,
-        instance_polys,
-        challenges_dev,
-        limb.from_int(spec, y),
-        limb.from_int(spec, beta),
-        limb.from_int(spec, gamma),
-        limb.from_int(spec, theta),
-        lookups_committed,
-        permutations,
-    )
+    with profiling.phase("quotient: evaluate_h"):
+        h_poly = pk.ev.evaluate_h(
+            pk,
+            advice_polys,
+            instance_polys,
+            challenges_dev,
+            limb.from_int(spec, y),
+            limb.from_int(spec, beta),
+            limb.from_int(spec, gamma),
+            limb.from_int(spec, theta),
+            lookups_committed,
+            permutations,
+        )
 
     # --- vanishing construct (vanishing/prover.rs:68-120) -------------------
     h_poly = domain.divide_by_vanishing_poly(h_poly)
@@ -674,5 +679,6 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
     queries.append(ProverQuery(x, h_poly_final, h_blind_final))
     queries.append(ProverQuery(x, random_poly, random_blind))
 
-    multiopen(params, rng, transcript, queries)
+    with profiling.phase("multiopen"):
+        multiopen(params, rng, transcript, queries)
     return transcript.finalize()

@@ -178,8 +178,21 @@ class FixedPointParams:
             return [(z, [int(u, 16) for u in us]) for z, us in cache[key]]
         result = find_zs_and_us(self.base, self.num_windows)
         cache[key] = [[z, [f"{u:064x}" for u in us]] for z, us in result]
-        with open(_ZS_US_CACHE_PATH, "w") as f:
-            json.dump(cache, f)
+        # atomic write (tmp + rename) so concurrent runs never interleave a
+        # partial JSON; tolerate read-only installs — the cache is an
+        # optimization, not a correctness requirement
+        try:
+            import os
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(_ZS_US_CACHE_PATH), suffix=".tmp"
+            )
+            with os.fdopen(fd, "w") as f:
+                json.dump(cache, f)
+            os.replace(tmp, _ZS_US_CACHE_PATH)
+        except OSError:
+            pass
         return result
 
 
@@ -469,9 +482,9 @@ class MulFixedChip:
         )
         magnitude_result = self._fold_windows(layouter, mul_bs)
 
-        return self._finish_short(layouter, magnitude_result, sign_v, windows_v)
+        return self._finish_short(layouter, magnitude_result, sign_v, running_zs)
 
-    def _finish_short(self, layouter, magnitude_result, sign_v, windows_v):
+    def _finish_short(self, layouter, magnitude_result, sign_v, running_zs):
         config = self.config
 
         # conditional negation (short.rs:35-80 + assign:150-240)
@@ -483,9 +496,12 @@ class MulFixedChip:
             )
             y_cell = region.assign_advice(config.ecc.y_p, 0, lambda: signed_y_v)
             region.assign_advice(config.window, 0, lambda: sign_v)
-            # last magnitude window (k_21, a single bit) checked boolean
-            k_last = windows_v[-1]
-            region.assign_advice(config.u, 0, lambda: k_last)
+            # last magnitude window: COPY the running-sum cell z_21 (equal to
+            # k_21 since z_22 = 0) so the last_window_check gate constrains a
+            # bound cell — a fresh witness here would let magnitudes in
+            # [2^64, 2^66) pass the "short" check (reference short.rs:173-176
+            # copies z_21 into u).
+            running_zs[NUM_WINDOWS_SHORT - 1].copy_advice(region, config.u, 0)
             return EccPoint(magnitude_result.x, y_cell)
 
         return layouter.namespace("short negate").assign_region(

@@ -331,8 +331,12 @@ class LookupRangeCheckConfig:
             region.assign_advice(self.running_sum, 1, lambda: shifted_val)
             self.q_lookup.enable(region, 1)
             self.q_bitshift.enable(region, 1)
+            # 2^{-num_bits} must be FIXED, not free advice: the reference uses
+            # assign_advice_from_constant (lookup_range_check.rs
+            # short_range_check) so a malicious prover cannot witness an
+            # arbitrary multiplier and defeat the num_bits bound.
             inv_two_pow_s = pow(1 << num_bits, -1, p)
-            region.assign_advice(self.running_sum, 2, lambda: Value.known(inv_two_pow_s))
+            region.assign_advice_from_constant(self.running_sum, 2, inv_two_pow_s)
             return el
 
         return layouter.namespace("short range check").assign_region(
@@ -353,8 +357,9 @@ class LookupRangeCheckConfig:
             region.assign_advice(self.running_sum, 1, lambda: shifted_val)
             self.q_lookup.enable(region, 1)
             self.q_bitshift.enable(region, 1)
+            # fixed constant, not free advice (see witness_short_check)
             inv_two_pow_s = pow(1 << num_bits, -1, p)
-            region.assign_advice(self.running_sum, 2, lambda: Value.known(inv_two_pow_s))
+            region.assign_advice_from_constant(self.running_sum, 2, inv_two_pow_s)
 
         layouter.namespace("short range check").assign_region(
             f"Range check {num_bits} bits", do

@@ -518,9 +518,14 @@ class ConstraintSystem:
         return TableColumn(self.fixed_column())
 
     def challenge_usable_after(self, phase: int) -> Challenge:
-        c = Challenge(self.num_challenges, phase + 1)
+        """Challenge squeezed at the END of ``phase`` (so usable from the next
+        phase on).  The stored phase is the GIVEN phase, matching the
+        reference (circuit.rs:1931-1943): the prover/verifier squeeze
+        challenges whose phase equals the phase just committed
+        (prover.rs:386-392)."""
+        c = Challenge(self.num_challenges, phase)
         self.num_challenges += 1
-        self.challenge_phase.append(phase + 1)
+        self.challenge_phase.append(phase)
         return c
 
     # -- equality / constants -------------------------------------------------

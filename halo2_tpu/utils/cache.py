@@ -16,6 +16,7 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__fi
 def enable_persistent_cache(path: str | None = None) -> None:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", path or _DEFAULT_DIR)
+    path = path or os.environ.get("HALO2_TPU_CACHE_DIR") or _DEFAULT_DIR
+    jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)

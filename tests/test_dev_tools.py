@@ -114,4 +114,4 @@ def test_circuit_dot_graph_and_layout():
 
     svg = CircuitLayout().render(BN254_FR, 4, circuit, [[7 * 5**4 % BN254_FR.p]])
     assert svg.startswith("<svg") and svg.endswith("</svg>")
-    assert "rect" in svg and "load private" in svg or "<text" in svg
+    assert "rect" in svg and ("load private" in svg or "<text" in svg)

@@ -4,18 +4,27 @@ Writes BENCH_full.json with every metric and prints one JSON line per metric.
 The driver-facing headline bench stays in bench.py (one line, MSM only).
 
 Metrics:
-  * msm_bn254_points_per_sec_k16  — headline Pippenger rate
-  * ntt_bn254_points_per_sec_k16  — radix-2 NTT rate over the base domain
-  * intt+coset extension rate at extended k (the prover's coeff_to_extended)
-  * prove_wall_s_k{K}             — standard-plonk-class circuit keygen/prove/
-                                    verify wall time (KZG-GWC, Blake2b)
+  * msm_bn254_points_per_sec_k16   — headline signed-digit Straus MSM rate
+  * ntt_bn254_points_per_sec_k16   — radix-2 NTT rate over the base domain
+  * coset_ext_points_per_sec_k16   — coeff_to_extended rate (zeta distribute
+                                     + extended-domain NTT, the prover's hot
+                                     transform; domain.rs:327-351 analog)
+  * {keygen,prove,verify}_wall_s_k{K} — standard-plonk wall times for the
+    benches/plonk.rs MyCircuit analog (domain-filling, 2^(k-1)-3 mul/add
+    region pairs; tests/circuits.py BenchPlonkCircuit), KZG-GWC + Blake2b
+  * scaling_efficiency_8dev        — parallel efficiency of the sharded
+    NTT+MSM pipeline at fixed problem size, 1 -> 8 virtual CPU devices
+    (ICI hardware is absent in this image; this is the measured proxy for
+    the BASELINE >= 70% line, method ready for real multi-chip)
 
-Scaling efficiency (1 -> 8 virtual devices) is measured by the driver's
-multichip dryrun (MULTICHIP_r*.json); reference CPU numbers are estimates
-(BASELINE.md: the Rust toolchain is absent from this image).
+Usage:
+    python bench_full.py [k_prove ...]        # default: 14 16
+    HALO2_TPU_PROFILE=1 python bench_full.py  # also writes PROFILE_k{K}.txt
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -27,17 +36,35 @@ enable_persistent_cache()
 
 CPU_MSM_BASELINE = 1.0e6  # pts/s, BASELINE.md estimate for best_multiexp
 CPU_NTT_BASELINE = 2.0e7  # pts/s, typical multicore best_fft at 2^16
+CPU_PROVE_K14_BASELINE = 4.0  # s, extrapolated criterion plonk-prover k=14 on
+# an 8-core host (the reference publishes no numbers; see BASELINE.md)
 
 
 def emit(metric, value, unit, vs):
     line = {
         "metric": metric,
-        "value": round(value, 1),
+        "value": round(value, 3),
         "unit": unit,
         "vs_baseline": round(vs, 4),
     }
     print(json.dumps(line), flush=True)
     return line
+
+
+def _srs(k: int):
+    """Device-generated KZG SRS, cached on disk per k (host regeneration is
+    minutes of Python bigints at k=16; the device path is one compile)."""
+    from halo2_tpu.poly.kzg import ParamsKZG
+
+    path = f"/tmp/halo2_tpu_bench_srs_k{k}.bin"
+    if os.path.exists(path):
+        return ParamsKZG.read(path)
+    if jax.default_backend() == "cpu" and k > 12:
+        params = ParamsKZG.setup_host(k, seed=b"bench-prove")
+    else:
+        params = ParamsKZG.setup(k, seed=b"bench-prove")
+    params.write(path)
+    return ParamsKZG.read(path)  # drop toxic waste: exercise the real pairing
 
 
 def bench_msm(k=16, reps=5):
@@ -104,58 +131,195 @@ def bench_ntt(k=16, reps=20):
     )
 
 
-def bench_prove(k=12):
-    """keygen + prove + verify wall time, simple mul circuit, KZG-GWC."""
+def bench_coset_ext(k=16, reps=10):
+    """coeff_to_extended: zeta power distribution + pad + extended NTT —
+    called per column in keygen_pk and evaluate_h (the prover's dominant
+    transform; reference domain.rs:327-351)."""
+    import numpy as np
+
+    from halo2_tpu.fields import limb
+    from halo2_tpu.fields.spec import BN254_FR
+    from halo2_tpu.poly.domain import EvaluationDomain
+    from halo2_tpu.poly.polynomial import COEFF, Poly
+
+    spec = BN254_FR
+    domain = EvaluationDomain(spec, 3, k)  # degree-3 gate: extended_k = k+1
+    n = 1 << k
+    vals = limb.from_ints(spec, [(i * 11 + 5) % spec.p for i in range(n)])
+    run = jax.jit(lambda a: domain.coeff_to_extended(Poly(a, COEFF)).values)
+    _ = np.asarray(run(vals))
+    start = time.perf_counter()
+    for _ in range(reps):
+        out = run(vals)
+    _ = np.asarray(out)
+    # rate counted in extended-domain points produced
+    rate = domain.extended_len * reps / (time.perf_counter() - start)
+    return emit(
+        f"coset_ext_points_per_sec_k{k}", rate, "points/sec", rate / CPU_NTT_BASELINE
+    )
+
+
+def bench_prove(k=14):
+    """keygen + prove + verify wall time, benches/plonk.rs circuit analog,
+    KZG-GWC + Blake2b on BN254 (the TPU flagship path)."""
     import sys as _sys
 
-    _sys.path.insert(0, "tests")
-    from circuits import SimpleCircuit
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from circuits import BenchPlonkCircuit
 
     from halo2_tpu.circuit import Value
     from halo2_tpu.curves import BN254_G1
     from halo2_tpu.plonk import create_proof, keygen_pk, keygen_vk, verify_proof
-    from halo2_tpu.poly.kzg import ParamsKZG
     from halo2_tpu.poly.multiopen_gwc import gwc_create_proof, gwc_verify_proof
     from halo2_tpu.transcript import Blake2bTranscript
+    from halo2_tpu.utils import profiling
     from halo2_tpu.utils.rng import FieldRng
 
     spec = BN254_G1.scalar
-    constant, a = 7, 5
-    c = constant * pow(a, 4, spec.p) % spec.p
-    circuit = SimpleCircuit(constant, Value.known(a))
-    params = ParamsKZG.setup_host(k, seed=b"bench-prove")
+    circuit = BenchPlonkCircuit(k, Value.known(0x2B3C4D5E6F | k))
+    params = _srs(k)
 
     t0 = time.perf_counter()
     vk = keygen_vk(params, circuit.without_witnesses())
     pk = keygen_pk(params, vk, circuit.without_witnesses())
     keygen_s = time.perf_counter() - t0
 
+    def one_proof():
+        rng = FieldRng(spec, b"bench-prove-rng")
+        transcript = Blake2bTranscript(BN254_G1)
+        return create_proof(
+            params, pk, [circuit], [[]], rng, transcript, gwc_create_proof
+        )
+
+    proof = one_proof()  # warm-up: pays all XLA compiles
     t0 = time.perf_counter()
-    rng = FieldRng(spec, b"bench-prove-rng")
-    transcript = Blake2bTranscript(BN254_G1)
-    proof = create_proof(params, pk, [circuit], [[[c]]], rng, transcript, gwc_create_proof)
+    proof = one_proof()
     prove_s = time.perf_counter() - t0
+
+    if profiling.enabled():
+        rows = profiling.report()
+        with open(f"PROFILE_k{k}.txt", "w") as f:
+            total = sum(t for _, _, t in rows)
+            f.write(f"halo2_tpu prove profile, k={k}, backend={jax.default_backend()}, "
+                    f"wall={prove_s:.2f}s (2 proves incl. warm-up: {total:.2f}s)\n")
+            for name, calls, secs in rows:
+                f.write(f"{secs:8.2f}s  {calls:4d}x  {name}\n")
+        print(f"wrote PROFILE_k{k}.txt", flush=True)
 
     t0 = time.perf_counter()
     tr = Blake2bTranscript(BN254_G1, proof)
-    assert verify_proof(params, vk, [[[c]]], tr, gwc_verify_proof)
+    assert verify_proof(params, vk, [[]], tr, gwc_verify_proof)
     verify_s = time.perf_counter() - t0
 
+    scale = 1 << (k - 14)  # crude linear extrapolation of the CPU baseline
     out = []
     out.append(emit(f"keygen_wall_s_k{k}", keygen_s, "s", 0.0))
-    out.append(emit(f"prove_wall_s_k{k}", prove_s, "s", 0.0))
+    out.append(
+        emit(f"prove_wall_s_k{k}", prove_s, "s", CPU_PROVE_K14_BASELINE * scale / prove_s)
+    )
     out.append(emit(f"verify_wall_s_k{k}", verify_s, "s", 0.0))
     return out
 
 
+_SCALING_LEG = """
+import json, sys, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from halo2_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+from halo2_tpu.curves.point import Point, from_affine_ints
+from halo2_tpu.curves.spec import BN254_G1
+from halo2_tpu.curves import host
+from halo2_tpu.fields import limb
+from halo2_tpu.fields.spec import NLIMBS
+from halo2_tpu.ops import ntt as ntt_ops
+from halo2_tpu.parallel import default_mesh
+from halo2_tpu.parallel.msm import sharded_msm
+from halo2_tpu.parallel.ntt import sharded_ntt
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+K = int(sys.argv[1]); REPS = int(sys.argv[2])
+fr = BN254_G1.scalar
+n = 1 << K
+omega = pow(fr.root_of_unity, 1 << (fr.s - K), fr.p)
+vals_np = limb.from_ints(fr, [(i * 7 + 3) % fr.p for i in range(n)])
+g = host.generator(BN254_G1)
+pts_host = from_affine_ints(BN254_G1, [g] * n)
+times = {}
+for d in (1, 2, 4, 8):
+    mesh = default_mesh(d)
+    shard = NamedSharding(mesh, P(None, "shard"))
+    vals = jax.device_put(vals_np, shard)
+    pts = Point(*(jax.device_put(c, shard) for c in pts_host))
+    def step():
+        a = sharded_ntt(fr, vals, K, omega, mesh)
+        m = sharded_msm(BN254_G1, a, pts, mesh)
+        return jax.block_until_ready((a, m.x))
+    step()  # compile
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        step()
+    times[d] = (time.perf_counter() - t0) / REPS
+print(json.dumps(times))
+"""
+
+
+def bench_scaling(k=14, reps=3):
+    """Sharded NTT+MSM throughput at fixed size across 1/2/4/8 virtual CPU
+    devices.  Runs in a subprocess so the CPU mesh doesn't disturb the TPU
+    backend of this process.  Efficiency_D = T_1 / (D * T_D)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCALING_LEG, str(k), str(reps)],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if proc.returncode != 0:
+        print(proc.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError("scaling leg failed")
+    times = json.loads(proc.stdout.strip().splitlines()[-1])
+    t1 = times["1"]
+    out = []
+    for d in (2, 4, 8):
+        eff = t1 / (d * times[str(d)])
+        out.append(
+            emit(f"scaling_efficiency_{d}dev", eff, "fraction (fixed size, CPU proxy)",
+                 eff / 0.70)
+        )
+    return out
+
+
 def main():
-    prove_k = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    ks = [int(a) for a in sys.argv[1:]] or [14, 16]
     results = []
     results.append(bench_msm())
     results.append(bench_ntt())
-    results.extend(bench_prove(prove_k))
+    results.append(bench_coset_ext())
+    for k in ks:
+        results.extend(bench_prove(k))
+    try:
+        results.extend(bench_scaling())
+    except Exception as exc:  # CPU-mesh proxy; never blocks the chip metrics
+        print(f"scaling leg skipped: {exc}", file=sys.stderr)
+    payload = {
+        "results": results,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "notes": "vs_baseline denominators are BASELINE.md estimates (the "
+        "reference publishes no numbers); scaling efficiency is a virtual-"
+        "device CPU proxy (no multi-chip ICI in this image).",
+    }
     with open("BENCH_full.json", "w") as f:
-        json.dump({"results": results, "ts": time.time()}, f, indent=1)
+        json.dump(payload, f, indent=1)
+    print("wrote BENCH_full.json", flush=True)
 
 
 if __name__ == "__main__":

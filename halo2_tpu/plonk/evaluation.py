@@ -10,6 +10,8 @@ tables.  XLA's CSE plays the role of the reference's tape deduplication.
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
 from typing import Dict, List
 
 import jax
@@ -37,17 +39,24 @@ from .circuit import (
 
 
 class EvalContext:
-    """Value sources for expression evaluation over a (16, size) row space."""
+    """Value sources for expression evaluation over a (16, size) row space.
+
+    ``fixed``/``advice``/``instance`` are either lists of (16, size) arrays or
+    a callable ``index -> array`` (the streaming coset provider below).
+    ``max_cached_rolls=None`` caches every rotation (fast, memory-heavy);
+    a number caps the rotation cache LRU-style for large extended domains.
+    """
 
     def __init__(
         self,
         spec: FieldSpec,
         size: int,
         rot_scale: int,
-        fixed: List[jnp.ndarray],
-        advice: List[jnp.ndarray],
-        instance: List[jnp.ndarray],
+        fixed,
+        advice,
+        instance,
         challenges: List[jnp.ndarray],
+        max_cached_rolls: int | None = None,
     ):
         self.spec = spec
         self.size = size
@@ -56,18 +65,26 @@ class EvalContext:
         self.advice = advice
         self.instance = instance
         self.challenges = challenges
-        self._rolls: Dict = {}
+        self.max_cached_rolls = max_cached_rolls
+        self._rolls: "OrderedDict" = OrderedDict()
+
+    def _source(self, kind: str, index: int) -> jnp.ndarray:
+        src = {"fixed": self.fixed, "advice": self.advice, "instance": self.instance}[kind]
+        return src(index) if callable(src) else src[index]
 
     def rotated(self, kind: str, index: int, rot: int) -> jnp.ndarray:
+        if rot == 0:
+            return self._source(kind, index)
         key = (kind, index, rot)
-        if key not in self._rolls:
-            src = {"fixed": self.fixed, "advice": self.advice, "instance": self.instance}[
-                kind
-            ][index]
-            self._rolls[key] = (
-                src if rot == 0 else jnp.roll(src, -rot * self.rot_scale, axis=1)
-            )
-        return self._rolls[key]
+        if key in self._rolls:
+            self._rolls.move_to_end(key)
+            return self._rolls[key]
+        out = jnp.roll(self._source(kind, index), -rot * self.rot_scale, axis=1)
+        self._rolls[key] = out
+        if self.max_cached_rolls is not None:
+            while len(self._rolls) > self.max_cached_rolls:
+                self._rolls.popitem(last=False)
+        return out
 
     def constant(self, v: int) -> jnp.ndarray:
         c = limb.from_int(self.spec, v % self.spec.p)
@@ -159,14 +176,52 @@ class Evaluator:
 
         values = limb.zeros((size,))
 
+        # Streaming cosets (SURVEY §7 hard part #5; the reference's analog is
+        # on-the-fly lookup cosets, evaluation.rs:447-459): above the size
+        # threshold (or with HALO2_TPU_STREAM_COSETS=1) advice/instance
+        # extended cosets are computed on demand from their coefficient polys
+        # and held in a small LRU, so peak memory is O(budget) columns instead
+        # of O(num_columns) — at k=20 an extended coset is ~100-500 MB per
+        # column.  Costs one extra extended NTT per evicted re-use; gate
+        # expressions touch each column a handful of times so the budget
+        # rarely evicts a live column.
+        force = os.environ.get("HALO2_TPU_STREAM_COSETS")
+        streaming = force == "1" or (force != "0" and size >= (1 << 20))
+        budget = int(os.environ.get("HALO2_TPU_COSET_BUDGET", "6"))
+
         for inst_idx in range(len(advice_polys)):
-            advice = [
-                domain.coeff_to_extended(p).values for p in advice_polys[inst_idx]
-            ]
-            instance = [
-                domain.coeff_to_extended(p).values for p in instance_polys[inst_idx]
-            ]
-            ctx = EvalContext(spec, size, rot_scale, fixed, advice, instance, challenges)
+            if streaming:
+                cache: "OrderedDict" = OrderedDict()
+
+                def provider(polys, tag):
+                    def get(index):
+                        key = (tag, index)
+                        if key in cache:
+                            cache.move_to_end(key)
+                            return cache[key]
+                        arr = domain.coeff_to_extended(polys[index]).values
+                        cache[key] = arr
+                        while len(cache) > budget:
+                            cache.popitem(last=False)
+                        return arr
+
+                    return get
+
+                advice = provider(advice_polys[inst_idx], "advice")
+                instance = provider(instance_polys[inst_idx], "instance")
+                max_rolls = 2
+            else:
+                advice = [
+                    domain.coeff_to_extended(p).values for p in advice_polys[inst_idx]
+                ]
+                instance = [
+                    domain.coeff_to_extended(p).values for p in instance_polys[inst_idx]
+                ]
+                max_rolls = None
+            ctx = EvalContext(
+                spec, size, rot_scale, fixed, advice, instance, challenges,
+                max_cached_rolls=max_rolls,
+            )
 
             # Custom gates (Horner fold with y, evaluation.rs:229-240)
             for gate in cs.gates:

@@ -138,6 +138,80 @@ class StandardPlonkCircuit(Circuit):
         layouter.assign_table("lookup_table", table)
 
 
+class BenchPlonkCircuit(Circuit):
+    """benches/plonk.rs MyCircuit: domain-filling standard plonk.
+
+    (2^(k-1) - 3) iterations of {raw_multiply, raw_add, 2 copies} over 3
+    advice + 4 fixed columns with a/b/c in the permutation — fills the whole
+    2^k domain like the reference criterion workload (plonk.rs:240-262), so
+    prove wall-time at k is an honest full-size measurement.  No lookup or
+    instance columns (the reference bench has none).
+    """
+
+    def __init__(self, k: int, a):
+        self.k = k
+        self.a = a  # Value (canonical int)
+
+    def without_witnesses(self):
+        return BenchPlonkCircuit(self.k, Value.unknown())
+
+    @classmethod
+    def configure(cls, meta):
+        a = meta.advice_column()
+        b = meta.advice_column()
+        c = meta.advice_column()
+        meta.enable_equality(a)
+        meta.enable_equality(b)
+        meta.enable_equality(c)
+        sa = meta.fixed_column()
+        sb = meta.fixed_column()
+        sc = meta.fixed_column()
+        sm = meta.fixed_column()
+
+        def gate(cells):
+            a_q = cells.query_advice(a, Rotation.cur())
+            b_q = cells.query_advice(b, Rotation.cur())
+            c_q = cells.query_advice(c, Rotation.cur())
+            sa_q = cells.query_fixed(sa, Rotation.cur())
+            sb_q = cells.query_fixed(sb, Rotation.cur())
+            sc_q = cells.query_fixed(sc, Rotation.cur())
+            sm_q = cells.query_fixed(sm, Rotation.cur())
+            return [a_q * sa_q + b_q * sb_q + a_q * b_q * sm_q - (c_q * sc_q)]
+
+        meta.create_gate("Combined add-mult", gate)
+        return {"a": a, "b": b, "c": c, "sa": sa, "sb": sb, "sc": sc, "sm": sm}
+
+    def synthesize(self, config, layouter):
+        def raw(name, sa_v, sb_v, sm_v, vals):
+            def do(region):
+                lhs = region.assign_advice(config["a"], 0, lambda: vals.map(lambda t: t[0]))
+                rhs = region.assign_advice(config["b"], 0, lambda: vals.map(lambda t: t[1]))
+                out = region.assign_advice(config["c"], 0, lambda: vals.map(lambda t: t[2]))
+                region.assign_fixed(config["sa"], 0, sa_v)
+                region.assign_fixed(config["sb"], 0, sb_v)
+                region.assign_fixed(config["sc"], 0, 1)
+                region.assign_fixed(config["sm"], 0, sm_v)
+                return lhs.cell, rhs.cell, out.cell
+
+            return layouter.assign_region(name, do)
+
+        def copy(left, right):
+            layouter.assign_region(
+                "copy", lambda region: region.constrain_equal(left, right)
+            )
+
+        a = self.a
+        a_sq = a.square()
+        fin = a_sq + a
+        mul_vals = a.zip(a_sq).map(lambda t: (t[0], t[0], t[1]))
+        add_vals = a.zip(a_sq).zip(fin).map(lambda t: (t[0][0], t[0][1], t[1]))
+        for _ in range((1 << (self.k - 1)) - 3):
+            a0, _, c0 = raw("raw_multiply", 0, 0, 1, mul_vals)
+            a1, b1, _ = raw("raw_add", 1, 1, 0, add_vals)
+            copy(a0, a1)
+            copy(b1, c0)
+
+
 class SimpleCircuit(Circuit):
     """simple-example.rs: out = constant * a^4 via three mul regions.
 

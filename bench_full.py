@@ -52,18 +52,16 @@ def emit(metric, value, unit, vs):
 
 
 def _srs(k: int):
-    """Device-generated KZG SRS, cached on disk per k (host regeneration is
-    minutes of Python bigints at k=16; the device path is one compile)."""
+    """Host-generated KZG SRS (Jacobian fast path: ~1s per 2^11 points),
+    cached on disk per k.  The device `setup` path is bit-identical but its
+    XLA compile alone takes ~10 min per shape on this 2-core host."""
     from halo2_tpu.poly.kzg import ParamsKZG
 
     path = f"/tmp/halo2_tpu_bench_srs_k{k}.bin"
-    if os.path.exists(path):
-        return ParamsKZG.read(path)
-    if jax.default_backend() == "cpu" and k > 12:
-        params = ParamsKZG.setup_host(k, seed=b"bench-prove")
-    else:
-        params = ParamsKZG.setup(k, seed=b"bench-prove")
-    params.write(path)
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        ParamsKZG.setup_host(k, seed=b"bench-prove").write(path)
+        print(f"[bench] host SRS k={k}: {time.perf_counter()-t0:.1f}s", flush=True)
     return ParamsKZG.read(path)  # drop toxic waste: exercise the real pairing
 
 
@@ -183,6 +181,7 @@ def bench_prove(k=14):
     vk = keygen_vk(params, circuit.without_witnesses())
     pk = keygen_pk(params, vk, circuit.without_witnesses())
     keygen_s = time.perf_counter() - t0
+    print(f"[bench] keygen k={k}: {keygen_s:.1f}s", flush=True)
 
     def one_proof():
         rng = FieldRng(spec, b"bench-prove-rng")
@@ -192,6 +191,7 @@ def bench_prove(k=14):
         )
 
     proof = one_proof()  # warm-up: pays all XLA compiles
+    print(f"[bench] warm-up prove k={k} done (incl. compiles)", flush=True)
     t0 = time.perf_counter()
     proof = one_proof()
     prove_s = time.perf_counter() - t0
@@ -211,7 +211,7 @@ def bench_prove(k=14):
     assert verify_proof(params, vk, [[]], tr, gwc_verify_proof)
     verify_s = time.perf_counter() - t0
 
-    scale = 1 << (k - 14)  # crude linear extrapolation of the CPU baseline
+    scale = 2.0 ** (k - 14)  # crude linear extrapolation of the CPU baseline
     out = []
     out.append(emit(f"keygen_wall_s_k{k}", keygen_s, "s", 0.0))
     out.append(

@@ -62,6 +62,80 @@ def generator(spec: CurveSpec):
     return (spec.gx, spec.gy)
 
 
+# ---------------------------------------------------------------------------
+# Jacobian fast path (no per-add inversion) for bulk host work (SRS setup)
+# ---------------------------------------------------------------------------
+
+JAC_IDENTITY = (0, 0, 0)
+
+
+def jac_double(spec: CurveSpec, pt):
+    """Double a Jacobian (X, Y, Z) point (a=0 curves: dbl-2009-l)."""
+    p = spec.base.p
+    X1, Y1, Z1 = pt
+    if Z1 == 0 or Y1 == 0:
+        return JAC_IDENTITY
+    A = X1 * X1 % p
+    B = Y1 * Y1 % p
+    C = B * B % p
+    D = 2 * ((X1 + B) * (X1 + B) - A - C) % p
+    E = 3 * A % p
+    F = E * E % p
+    X3 = (F - 2 * D) % p
+    Y3 = (E * (D - X3) - 8 * C) % p
+    Z3 = 2 * Y1 * Z1 % p
+    return (X3, Y3, Z3)
+
+
+def jac_add_mixed(spec: CurveSpec, pt, aff):
+    """Jacobian += affine (madd-2007-bl); ``aff`` is an (x, y) tuple or None."""
+    p = spec.base.p
+    if aff is None:
+        return pt
+    X1, Y1, Z1 = pt
+    x2, y2 = aff
+    if Z1 == 0:
+        return (x2, y2, 1)
+    Z1Z1 = Z1 * Z1 % p
+    U2 = x2 * Z1Z1 % p
+    S2 = y2 * Z1 % p * Z1Z1 % p
+    H = (U2 - X1) % p
+    if H == 0:
+        if (S2 - Y1) % p != 0:
+            return JAC_IDENTITY
+        return jac_double(spec, pt)
+    HH = H * H % p
+    I = 4 * HH % p
+    J = H * I % p
+    r = 2 * (S2 - Y1) % p
+    V = X1 * I % p
+    X3 = (r * r - J - 2 * V) % p
+    Y3 = (r * (V - X3) - 2 * Y1 * J) % p
+    Z3 = ((Z1 + H) * (Z1 + H) - Z1Z1 - HH) % p
+    return (X3, Y3, Z3)
+
+
+def jac_batch_to_affine(spec: CurveSpec, pts):
+    """Jacobian list -> affine (x, y)/None list with ONE modular inversion
+    (Montgomery's trick over the z coordinates)."""
+    p = spec.base.p
+    zs = [pt[2] for pt in pts]
+    prefix = [1] * (len(zs) + 1)
+    for i, z in enumerate(zs):
+        prefix[i + 1] = prefix[i] * (z if z else 1) % p
+    inv_total = pow(prefix[-1], -1, p)
+    out = [None] * len(pts)
+    for i in range(len(pts) - 1, -1, -1):
+        X, Y, Z = pts[i]
+        if Z == 0:
+            continue
+        zinv = inv_total * prefix[i] % p
+        inv_total = inv_total * Z % p
+        zi2 = zinv * zinv % p
+        out[i] = (X * zi2 % p, Y * zi2 % p * zinv % p)
+    return out
+
+
 def msm(spec: CurveSpec, scalars, points):
     """Naive host MSM (golden reference for the device Pippenger kernel)."""
     acc = None

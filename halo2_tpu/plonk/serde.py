@@ -7,9 +7,12 @@ Layout mirrors the reference: vk = k (u32 BE) | num_fixed_commitments (u32 BE)
 | fixed commitments | permutation commitments | bit-packed selectors;
 pk = vk | l0 | l_last | l_active_row | fixed_values | fixed_polys |
 fixed_cosets | permutation polys.  `Processed` writes compressed points and
-canonical scalars; `RawBytes`/`RawBytesUnchecked` write uncompressed affine
-coordinates (this build's "raw" form — our internal limb representation has no
-Montgomery byte layout to dump), skipping validation on Unchecked.
+canonical (standard-form) scalars; `RawBytes`/`RawBytesUnchecked` write
+uncompressed affine points and field elements in the 4x64-bit-limb
+little-endian **Montgomery** representation — the halo2curves `SerdeObject`
+raw layout (helpers.rs:8-20, SerdeCurveAffine/SerdePrimeField) — so
+raw-serialized keys interop with reference-side tooling.  `RawBytes` checks
+element < modulus and point-on-curve on read; `Unchecked` skips both.
 """
 
 from __future__ import annotations
@@ -46,53 +49,94 @@ def unpack(byte: int, count: int = 8) -> List[bool]:
     return [bool((byte >> i) & 1) for i in range(count)]
 
 
+def _to_mont(field, v: int) -> int:
+    return v * field.r % field.p
+
+
+def _from_mont(field, v: int) -> int:
+    return v * pow(field.r, -1, field.p) % field.p
+
+
 def _write_point(w, curve, pt, fmt: SerdeFormat):
     if fmt == SerdeFormat.PROCESSED:
         w.write(point_to_bytes(curve, pt))
     else:
+        # halo2curves write_raw: uncompressed affine, coordinates as 4x64-bit
+        # LE limbs of the Montgomery form; identity = (0, 0)
         if pt is None:
             w.write(b"\x00" * 64)
         else:
-            w.write(pt[0].to_bytes(32, "little"))
-            w.write(pt[1].to_bytes(32, "little"))
+            f = curve.base
+            w.write(_to_mont(f, pt[0]).to_bytes(32, "little"))
+            w.write(_to_mont(f, pt[1]).to_bytes(32, "little"))
 
 
 def _read_point(r, curve, fmt: SerdeFormat):
     if fmt == SerdeFormat.PROCESSED:
         return point_from_bytes(curve, r.read(32))
-    x = int.from_bytes(r.read(32), "little")
-    y = int.from_bytes(r.read(32), "little")
-    if x == 0 and y == 0:
+    xm = int.from_bytes(r.read(32), "little")
+    ym = int.from_bytes(r.read(32), "little")
+    if xm == 0 and ym == 0:
         return None
-    if fmt == SerdeFormat.RAW_BYTES:
-        f = curve.base
-        if x >= f.p or y >= f.p or (y * y - x * x * x - curve.b) % f.p != 0:
-            raise ValueError("invalid raw point encoding")
+    f = curve.base
+    if fmt == SerdeFormat.RAW_BYTES and (xm >= f.p or ym >= f.p):
+        raise ValueError("raw field element exceeds the modulus")
+    x = _from_mont(f, xm)
+    y = _from_mont(f, ym)
+    if fmt == SerdeFormat.RAW_BYTES and (y * y - x * x * x - curve.b) % f.p != 0:
+        raise ValueError("raw point is not on the curve")
     return (x, y)
 
 
-def _write_poly(w, spec, poly: Poly):
-    vals = limb.to_ints(spec, poly.values)
-    w.write(struct.pack("<I", len(vals)))
-    for v in vals:
+def _write_scalar(w, spec, v: int, fmt: SerdeFormat):
+    if fmt == SerdeFormat.PROCESSED:
         w.write(v.to_bytes(32, "little"))
+    else:
+        w.write(_to_mont(spec, v).to_bytes(32, "little"))
 
 
-def _read_poly(r, spec, basis) -> Poly:
-    (n,) = struct.unpack("<I", r.read(4))
-    vals = [int.from_bytes(r.read(32), "little") for v in range(n)]
+def _read_scalar(r, spec, fmt: SerdeFormat) -> int:
+    v = int.from_bytes(r.read(32), "little")
+    if fmt == SerdeFormat.PROCESSED:
+        if v >= spec.p:
+            raise ValueError("field element exceeds the modulus")
+        return v
+    if fmt == SerdeFormat.RAW_BYTES and v >= spec.p:
+        raise ValueError("raw field element exceeds the modulus")
+    return _from_mont(spec, v)
+
+
+def _write_poly(w, spec, poly: Poly, fmt: SerdeFormat):
+    from ..fields.limb import limbs_np_to_ints
+
+    import numpy as np
+
+    n = poly.values.shape[1]
+    w.write(struct.pack(">I", n))
+    if fmt == SerdeFormat.PROCESSED:
+        for v in limb.to_ints(spec, poly.values):
+            w.write(v.to_bytes(32, "little"))
+    else:
+        # device limbs already hold the Montgomery form: dump directly
+        for v in limbs_np_to_ints(np.asarray(poly.values)):
+            w.write(v.to_bytes(32, "little"))
+
+
+def _read_poly(r, spec, basis, fmt: SerdeFormat) -> Poly:
+    (n,) = struct.unpack(">I", r.read(4))
+    vals = [_read_scalar(r, spec, fmt) for _ in range(n)]
     return Poly(limb.from_ints(spec, vals), basis)
 
 
-def _write_poly_slice(w, spec, polys: List[Poly]):
-    w.write(struct.pack("<I", len(polys)))
+def _write_poly_slice(w, spec, polys: List[Poly], fmt: SerdeFormat):
+    w.write(struct.pack(">I", len(polys)))
     for poly in polys:
-        _write_poly(w, spec, poly)
+        _write_poly(w, spec, poly, fmt)
 
 
-def _read_poly_slice(r, spec, basis) -> List[Poly]:
-    (count,) = struct.unpack("<I", r.read(4))
-    return [_read_poly(r, spec, basis) for _ in range(count)]
+def _read_poly_slice(r, spec, basis, fmt: SerdeFormat) -> List[Poly]:
+    (count,) = struct.unpack(">I", r.read(4))
+    return [_read_poly(r, spec, basis, fmt) for _ in range(count)]
 
 
 # ---------------------------------------------------------------------------
@@ -162,15 +206,15 @@ def vk_from_bytes(data: bytes, curve, circuit_cls, spec=None, fmt: SerdeFormat =
 def write_pk(pk: ProvingKey, w, curve, fmt: SerdeFormat = SerdeFormat.PROCESSED):
     spec = pk.vk.domain.spec
     write_vk(pk.vk, w, curve, fmt)
-    _write_poly(w, spec, pk.l0)
-    _write_poly(w, spec, pk.l_last)
-    _write_poly(w, spec, pk.l_active_row)
-    _write_poly_slice(w, spec, pk.fixed_values)
-    _write_poly_slice(w, spec, pk.fixed_polys)
-    _write_poly_slice(w, spec, pk.fixed_cosets)
-    _write_poly_slice(w, spec, pk.permutation.permutations)
-    _write_poly_slice(w, spec, pk.permutation.polys)
-    _write_poly_slice(w, spec, pk.permutation.cosets)
+    _write_poly(w, spec, pk.l0, fmt)
+    _write_poly(w, spec, pk.l_last, fmt)
+    _write_poly(w, spec, pk.l_active_row, fmt)
+    _write_poly_slice(w, spec, pk.fixed_values, fmt)
+    _write_poly_slice(w, spec, pk.fixed_polys, fmt)
+    _write_poly_slice(w, spec, pk.fixed_cosets, fmt)
+    _write_poly_slice(w, spec, pk.permutation.permutations, fmt)
+    _write_poly_slice(w, spec, pk.permutation.polys, fmt)
+    _write_poly_slice(w, spec, pk.permutation.cosets, fmt)
 
 
 def read_pk(r, curve, circuit_cls, spec=None, fmt: SerdeFormat = SerdeFormat.PROCESSED) -> ProvingKey:
@@ -179,15 +223,15 @@ def read_pk(r, curve, circuit_cls, spec=None, fmt: SerdeFormat = SerdeFormat.PRO
 
     vk = read_vk(r, curve, circuit_cls, spec, fmt)
     spec = vk.domain.spec
-    l0 = _read_poly(r, spec, EXTENDED)
-    l_last = _read_poly(r, spec, EXTENDED)
-    l_active_row = _read_poly(r, spec, EXTENDED)
-    fixed_values = _read_poly_slice(r, spec, LAGRANGE)
-    fixed_polys = _read_poly_slice(r, spec, COEFF)
-    fixed_cosets = _read_poly_slice(r, spec, EXTENDED)
-    permutations = _read_poly_slice(r, spec, LAGRANGE)
-    polys = _read_poly_slice(r, spec, COEFF)
-    cosets = _read_poly_slice(r, spec, EXTENDED)
+    l0 = _read_poly(r, spec, EXTENDED, fmt)
+    l_last = _read_poly(r, spec, EXTENDED, fmt)
+    l_active_row = _read_poly(r, spec, EXTENDED, fmt)
+    fixed_values = _read_poly_slice(r, spec, LAGRANGE, fmt)
+    fixed_polys = _read_poly_slice(r, spec, COEFF, fmt)
+    fixed_cosets = _read_poly_slice(r, spec, EXTENDED, fmt)
+    permutations = _read_poly_slice(r, spec, LAGRANGE, fmt)
+    polys = _read_poly_slice(r, spec, COEFF, fmt)
+    cosets = _read_poly_slice(r, spec, EXTENDED, fmt)
     permutation_pk = PermutationPK(permutations, polys, cosets)
     ev = Evaluator(vk.cs)
     return ProvingKey(

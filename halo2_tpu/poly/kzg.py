@@ -120,7 +120,7 @@ class ParamsKZG:
         if s == 0:
             s = 1
 
-        # fixed-base window table: table[w][d] = d * 16^w * G
+        # fixed-base window table: table[w][d] = d * 16^w * G (affine)
         gpt = (curve.gx, curve.gy)
         table = []
         base = gpt
@@ -134,11 +134,14 @@ class ParamsKZG:
             base = host.add(curve, acc, base)  # 16 * (16^w * G)
 
         def mul_g(scalar: int):
-            acc = None
+            """Jacobian accumulation: 64 mixed adds, NO inversions (the
+            per-point affine normalization is batched below — one modular
+            inversion for the whole SRS instead of 64 per scalar)."""
+            acc = host.JAC_IDENTITY
             for w in range(64):
                 d = (scalar >> (4 * w)) & 0xF
                 if d:
-                    acc = host.add(curve, acc, table[w][d])
+                    acc = host.jac_add_mixed(curve, acc, table[w][d])
             return acc
 
         # g[i] = s^i * G
@@ -147,17 +150,29 @@ class ParamsKZG:
         for _ in range(n):
             s_pows.append(cur)
             cur = cur * s % p
-        g_aff = [mul_g(v) for v in s_pows]
 
         # g_lagrange[i] = L_i(s) * G, L_i(s) = (s^n - 1)/n * omega^i / (s - omega^i)
         omega = pow(fr.root_of_unity, 1 << (fr.s - k), p)
         common = (pow(s, n, p) - 1) * pow(n, -1, p) % p
         om = 1
         lag = []
+        denoms = []
         for _ in range(n):
-            lag.append(common * om % p * pow((s - om) % p, -1, p) % p)
+            lag.append(common * om % p)
+            denoms.append((s - om) % p)
             om = om * omega % p
-        gl_aff = [mul_g(v) for v in lag]
+        # batch-invert the n Lagrange denominators (one pow for all)
+        prefix = [1] * (n + 1)
+        for i, d in enumerate(denoms):
+            prefix[i + 1] = prefix[i] * d % p
+        inv = pow(prefix[-1], -1, p)
+        for i in range(n - 1, -1, -1):
+            lag[i] = lag[i] * (inv * prefix[i] % p) % p
+            inv = inv * denoms[i] % p
+
+        jac = [mul_g(v) for v in s_pows] + [mul_g(v) for v in lag]
+        aff = host.jac_batch_to_affine(curve, jac)
+        g_aff, gl_aff = aff[:n], aff[n:]
 
         g = from_affine_ints(curve, g_aff)
         g_lagrange = from_affine_ints(curve, gl_aff)
@@ -229,28 +244,46 @@ class ParamsKZG:
         )
 
     # ------------------------------------------------------------------
-    def write(self, path: str):
+    def write(self, path: str, fmt=None):
+        """Serialize the SRS.  ``fmt`` is a plonk.serde.SerdeFormat (default
+        Processed = compressed points); the Raw formats dump uncompressed
+        affine coordinates in the halo2curves Montgomery limb layout
+        (kzg/commitment.rs write_custom + helpers.rs SerdeCurveAffine)."""
+        from ..plonk.serde import SerdeFormat, _write_point
+
+        fmt = fmt or SerdeFormat.PROCESSED
         curve = self.curve
         gs = to_affine_ints(curve, self.g)
         gl = to_affine_ints(curve, self.g_lagrange)
+        fq = curve.base
+        mont = (lambda v: v * fq.r % fq.p) if fmt != SerdeFormat.PROCESSED else (lambda v: v)
         with open(path, "wb") as f:
             f.write(struct.pack("<I", self.k))
             for pt in gs + gl:
-                f.write(point_to_bytes(curve, pt))
+                _write_point(f, curve, pt, fmt)
             for g2pt in (self.g2, self.s_g2):
                 for c in (g2pt[0].c0, g2pt[0].c1, g2pt[1].c0, g2pt[1].c1):
-                    f.write(c.to_bytes(32, "little"))
+                    f.write(mont(c).to_bytes(32, "little"))
 
     @classmethod
-    def read(cls, path: str) -> "ParamsKZG":
+    def read(cls, path: str, fmt=None) -> "ParamsKZG":
+        from ..plonk.serde import SerdeFormat, _read_point
+
+        fmt = fmt or SerdeFormat.PROCESSED
         curve = cls.curve
+        fq = curve.base
+        unmont = (
+            (lambda v: v * pow(fq.r, -1, fq.p) % fq.p)
+            if fmt != SerdeFormat.PROCESSED
+            else (lambda v: v)
+        )
         with open(path, "rb") as f:
             (k,) = struct.unpack("<I", f.read(4))
             n = 1 << k
-            pts = [point_from_bytes(curve, f.read(32)) for _ in range(2 * n)]
+            pts = [_read_point(f, curve, fmt) for _ in range(2 * n)]
             g2s = []
             for _ in range(2):
-                c = [int.from_bytes(f.read(32), "little") for _ in range(4)]
+                c = [unmont(int.from_bytes(f.read(32), "little")) for _ in range(4)]
                 g2s.append(
                     (bn254_g2.Fq2(c[0], c[1]), bn254_g2.Fq2(c[2], c[3]))
                 )

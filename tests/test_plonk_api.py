@@ -31,6 +31,23 @@ from circuits import StandardPlonkCircuit
 K = 5
 
 
+def _assert_pinned(name: str, proof: bytes):
+    """Pin proof bytes in tests/data/ (BASELINE.md correctness config 2 /
+    VERDICT r4 next-round #9): any transcript-order, RNG-order, or arithmetic
+    regression changes the bytes and fails the suite, not just the driver
+    dryrun.  Set HALO2_TPU_REPIN=1 to regenerate after an intentional
+    protocol change."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", f"{name}.hex")
+    if os.environ.get("HALO2_TPU_REPIN") == "1" or not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(proof.hex() + "\n")
+    with open(path) as f:
+        expected = bytes.fromhex(f.read().strip())
+    assert proof == expected, f"{name}: proof bytes diverge from the pinned run"
+
+
 def common(spec):
     """plonk_api.rs common! macro: witness a, instance, lookup table."""
     p = spec.p
@@ -93,6 +110,7 @@ def test_plonk_api_gwc(kzg_setup):
 
     proof = _prove_two_instances(params, pk, spec, gwc_create_proof, b"gwc-rng")
     assert len(proof) > 0
+    _assert_pinned("plonk_api_gwc_k5", proof)
 
     tr = Blake2bTranscript(params.curve, proof)
     assert verify_proof(params, vk, [[[instance]], [[instance]]], tr, gwc_verify_proof)
@@ -110,6 +128,7 @@ def test_plonk_api_shplonk(kzg_setup):
     _, instance, _ = common(spec)
 
     proof = _prove_two_instances(params, pk, spec, shplonk_create_proof, b"shplonk-rng")
+    _assert_pinned("plonk_api_shplonk_k5", proof)
     tr = Blake2bTranscript(params.curve, proof)
     assert verify_proof(
         params, vk, [[[instance]], [[instance]]], tr, shplonk_verify_proof
@@ -183,6 +202,7 @@ def test_plonk_api_ipa():
     proof = _prove_two_instances(
         params, pk, spec, ipa_create_proof, b"ipa-rng", query_instance=True
     )
+    _assert_pinned("plonk_api_ipa_k5", proof)
     tr = Blake2bTranscript(params.curve, proof)
     assert verify_proof(
         params, vk, [[[instance]], [[instance]]], tr, ipa_verify_proof,

@@ -192,6 +192,7 @@ def bench_prove(k=14):
 
     proof = one_proof()  # warm-up: pays all XLA compiles
     print(f"[bench] warm-up prove k={k} done (incl. compiles)", flush=True)
+    profiling.report(reset=True)  # drop warm-up phases: profile the warm prove
     t0 = time.perf_counter()
     proof = one_proof()
     prove_s = time.perf_counter() - t0
@@ -199,9 +200,9 @@ def bench_prove(k=14):
     if profiling.enabled():
         rows = profiling.report()
         with open(f"PROFILE_k{k}.txt", "w") as f:
-            total = sum(t for _, _, t in rows)
-            f.write(f"halo2_tpu prove profile, k={k}, backend={jax.default_backend()}, "
-                    f"wall={prove_s:.2f}s (2 proves incl. warm-up: {total:.2f}s)\n")
+            covered = sum(t for _, _, t in rows)
+            f.write(f"halo2_tpu WARM prove profile, k={k}, backend={jax.default_backend()}, "
+                    f"wall={prove_s:.2f}s (phases cover {covered:.2f}s)\n")
             for name, calls, secs in rows:
                 f.write(f"{secs:8.2f}s  {calls:4d}x  {name}\n")
         print(f"wrote PROFILE_k{k}.txt", flush=True)
@@ -226,6 +227,7 @@ import json, sys, time
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_disable_most_optimizations", True)
 from halo2_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 from halo2_tpu.curves.point import Point, from_affine_ints
@@ -265,14 +267,25 @@ print(json.dumps(times))
 """
 
 
-def bench_scaling(k=14, reps=3):
+def bench_scaling(k=12, reps=3):
     """Sharded NTT+MSM throughput at fixed size across 1/2/4/8 virtual CPU
     devices.  Runs in a subprocess so the CPU mesh doesn't disturb the TPU
-    backend of this process.  Efficiency_D = T_1 / (D * T_D)."""
+    backend of this process.  Efficiency_D = T_1 / (D * T_D).
+
+    Virtual devices share the host's 2 cores, so absolute times are
+    meaningless and even relative ones are pessimistic (all collectives are
+    memcpys, all "chips" timeshare the same ALUs); this is the method proxy
+    for the BASELINE >=70% line until real multi-chip hardware exists.
+    """
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # compile-lean: these runs are collective-plumbing measurements, and full
+    # XLA optimization of the k=12+ limb graphs takes tens of minutes on the
+    # 2-core host
     env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+        + " --xla_backend_optimization_level=0"
     ).strip()
     proc = subprocess.run(
         [sys.executable, "-c", _SCALING_LEG, str(k), str(reps)],

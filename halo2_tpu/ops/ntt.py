@@ -134,6 +134,106 @@ def ntt_batched(
     return jax.lax.fori_loop(1, k + 1, stage, a)
 
 
+# ---------------------------------------------------------------------------
+# Six-step + Stockham NTT: the TPU fast path (no gathers)
+# ---------------------------------------------------------------------------
+#
+# The butterfly network above moves data with per-stage gathers over the lane
+# axis; on TPU those lower to slow scatter/gather + sublane relayouts and the
+# transform runs ~40x below the Montgomery-mul rate (measured in
+# BENCH_full.json r5: 3.6M pts/s at k=16 vs an MSM sustaining >1.1G muls/s).
+# The six-step factorization n = n1*n2 turns the whole transform into:
+#
+#     (16, n2, n1):  Stockham NTT of size n2 along axis 1   (batch n1 on lanes)
+#     twiddle by W[i2, j1] = w^(i2*j1)                      (one elementwise mul)
+#     transpose -> (16, n1, n2)
+#     Stockham NTT of size n1 along axis 1                  (batch n2 on lanes)
+#     reshape -> X[i1*n2 + i2]  (natural order, no bit-reversal)
+#
+# Stockham (DIF, auto-sorting) makes every stage a contiguous half-split +
+# add/sub/mul + concat: NO gather indices anywhere, every elementwise op runs
+# full-width with >= 2^(k/2) lanes.  Outputs are bit-identical to ``ntt``
+# (same field ops, reassociated), pinned by tests/test_ntt.py.
+
+
+def _stockham_axis1(spec: FieldSpec, x, tw, k: int):
+    """Size-2^k DIF Stockham transform along axis 1 of (16, m, B); ``tw`` is
+    the (16, m/2) table of the m-th root's powers.  Output in natural order."""
+    m = 1 << k
+    b = x.shape[2]
+    x = x.reshape(NLIMBS, m, 1, b)
+    for t in range(k):
+        h = m >> (t + 1)
+        a, c = x[:, :h], x[:, h:]
+        u = limb.fadd(spec, a, c)
+        w = tw[:, :: 1 << t][:, :h]  # (w^(2^t))^j for j < h
+        wb = jnp.broadcast_to(w[:, :, None, None], a.shape)
+        v = limb.fmul(spec, limb.fsub(spec, a, c), wb)
+        x = jnp.concatenate([u, v], axis=2)  # new output bit on the slow side
+    return x.reshape(NLIMBS, m, b)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def ntt_sixstep(
+    spec: FieldSpec, a: jnp.ndarray, tw: jnp.ndarray, w_cross: jnp.ndarray, k: int
+) -> jnp.ndarray:
+    """DFT of a (16, 2^k) limb array via the six-step algorithm.
+
+    ``tw``: (16, 2^(k-1)) powers of the length-n root w (same table as
+    :func:`ntt`).  ``w_cross``: the (16, n2, n1) cross-twiddle table
+    W[i2, j1] = w^(i2*j1) from :func:`cross_twiddles`.
+    """
+    n = 1 << k
+    assert a.shape == (NLIMBS, n)
+    if k < 2:
+        return ntt(spec, a, tw, k)
+    k1 = k // 2
+    k2 = k - k1
+    n1, n2 = 1 << k1, 1 << k2
+    # x[j], j = j1 + n1*j2  ->  view [j2][j1]
+    x = a.reshape(NLIMBS, n2, n1)
+    tw2 = tw[:, ::n1][:, : n2 // 2]  # powers of w^n1 (the n2-th root)
+    x = _stockham_axis1(spec, x, tw2, k2)  # Y[i2, j1]
+    x = limb.fmul(spec, x, w_cross)
+    x = jnp.swapaxes(x, 1, 2)  # (16, n1, n2): [j1-> to transform, i2 batch]
+    tw1 = tw[:, ::n2][:, : n1 // 2]  # powers of w^n2 (the n1-th root)
+    x = _stockham_axis1(spec, x, tw1, k1)  # D[i1, i2]
+    return x.reshape(NLIMBS, n)  # X[i1*n2 + i2]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def intt_sixstep(
+    spec: FieldSpec,
+    a: jnp.ndarray,
+    inv_tw: jnp.ndarray,
+    inv_cross: jnp.ndarray,
+    k: int,
+    n_inv_mont: jnp.ndarray,
+) -> jnp.ndarray:
+    """Inverse DFT on the six-step path (forward with omega^-1, scaled)."""
+    out = ntt_sixstep(spec, a, inv_tw, inv_cross, k)
+    scale = jnp.broadcast_to(n_inv_mont.reshape(NLIMBS, 1), out.shape)
+    return limb.fmul(spec, out, scale)
+
+
+def cross_twiddles(spec: FieldSpec, omega: int, k: int) -> jnp.ndarray:
+    """(16, n2, n1) Montgomery table W[i2, j1] = omega^(i2*j1) for the
+    six-step transform (host-built once per domain, cached by the caller)."""
+    from ..fields.limb import ints_to_limbs_np
+
+    k1 = k // 2
+    n1, n2 = 1 << k1, 1 << (k - k1)
+    p = spec.p
+    flat = []
+    for i2 in range(n2):
+        step = pow(omega, i2, p)  # row i2: geometric sequence with this ratio
+        v = 1
+        for _ in range(n1):
+            flat.append(spec.to_mont(v))
+            v = v * step % p
+    return jnp.asarray(ints_to_limbs_np(flat)).reshape(NLIMBS, n2, n1)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def intt(
     spec: FieldSpec,

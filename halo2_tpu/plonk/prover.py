@@ -452,35 +452,37 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
             witness = WitnessCollection(
                 params.k, cs, phase, instances[c_idx], challenges, usable
             )
-            circuit.floor_planner.synthesize(
-                witness, circuit, config, list(cs.constants)
-            )
-            cols = batch_invert_assigned(
-                spec, [witness.advice[i] for i in col_indices], n
-            )
-            for poly_idx, col_idx in enumerate(col_indices):
-                vals = cols[poly_idx].values
-                blind_rows = limb.from_ints(spec, [rng() for _ in range(bf + 1)])
-                vals = _set_rows(vals, usable, blind_rows)
-                advice_values[c_idx][col_idx] = vals
-            blinds = [rng() for _ in col_indices]
-            for blind, col_idx in zip(blinds, col_indices):
-                advice_blinds[c_idx][col_idx] = blind
-            batched = getattr(params, "commit_lagrange_many", None)
-            if batched is not None and params.mesh is None and len(col_indices) > 1:
-                # all same-phase columns in ONE MSM dispatch + host sync
-                # (SURVEY §3.2 hard part #4; VERDICT r3 weak #5)
-                pts = batched(
-                    [Poly(advice_values[c_idx][i], LAGRANGE) for i in col_indices],
-                    blinds,
+            with profiling.phase("witness synthesis (host)"):
+                circuit.floor_planner.synthesize(
+                    witness, circuit, config, list(cs.constants)
                 )
-                for aff in to_affine_ints(params.curve, pts):
-                    transcript.write_point(aff)
-            else:
+            with profiling.phase("advice: materialize + commit"):
+                cols = batch_invert_assigned(
+                    spec, [witness.advice[i] for i in col_indices], n
+                )
+                for poly_idx, col_idx in enumerate(col_indices):
+                    vals = cols[poly_idx].values
+                    blind_rows = limb.from_ints(spec, [rng() for _ in range(bf + 1)])
+                    vals = _set_rows(vals, usable, blind_rows)
+                    advice_values[c_idx][col_idx] = vals
+                blinds = [rng() for _ in col_indices]
                 for blind, col_idx in zip(blinds, col_indices):
-                    _write_commitment(
-                        params, transcript, advice_values[c_idx][col_idx], blind
+                    advice_blinds[c_idx][col_idx] = blind
+                batched = getattr(params, "commit_lagrange_many", None)
+                if batched is not None and params.mesh is None and len(col_indices) > 1:
+                    # all same-phase columns in ONE MSM dispatch + host sync
+                    # (SURVEY §3.2 hard part #4; VERDICT r3 weak #5)
+                    pts = batched(
+                        [Poly(advice_values[c_idx][i], LAGRANGE) for i in col_indices],
+                        blinds,
                     )
+                    for aff in to_affine_ints(params.curve, pts):
+                        transcript.write_point(aff)
+                else:
+                    for blind, col_idx in zip(blinds, col_indices):
+                        _write_commitment(
+                            params, transcript, advice_values[c_idx][col_idx], blind
+                        )
         for index, ch_phase in enumerate(cs.challenge_phase):
             if ch_phase == phase:
                 challenges[index] = transcript.squeeze_challenge()
@@ -535,10 +537,11 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
     # --- y; h(X) -----------------------------------------------------------
     y = transcript.squeeze_challenge()
 
-    advice_polys = [
-        [domain.lagrange_to_coeff(Poly(v, LAGRANGE)) for v in advice_values[c]]
-        for c in range(num_circuits)
-    ]
+    with profiling.phase("advice: iNTT to coeff"):
+        advice_polys = [
+            [domain.lagrange_to_coeff(Poly(v, LAGRANGE)) for v in advice_values[c]]
+            for c in range(num_circuits)
+        ]
     instance_polys = [s["polys"] for s in instance_singles]
 
     with profiling.phase("quotient: evaluate_h"):
@@ -556,25 +559,27 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
         )
 
     # --- vanishing construct (vanishing/prover.rs:68-120) -------------------
-    h_poly = domain.divide_by_vanishing_poly(h_poly)
-    h_coeffs = domain.extended_to_coeff(h_poly)  # (16, n * quotient_degree)
-    qd = domain.quotient_poly_degree
-    h_pieces = [
-        Poly(h_coeffs[:, i * n : (i + 1) * n], COEFF) for i in range(qd)
-    ]
-    h_blinds = [rng() for _ in h_pieces]
-    for piece, h_blind in zip(h_pieces, h_blinds):
-        cpt = params.commit(piece, h_blind)
-        transcript.write_point(to_affine_ints(params.curve, cpt)[0])
+    with profiling.phase("vanishing: h divide/split/commit"):
+        h_poly = domain.divide_by_vanishing_poly(h_poly)
+        h_coeffs = domain.extended_to_coeff(h_poly)  # (16, n * quotient_degree)
+        qd = domain.quotient_poly_degree
+        h_pieces = [
+            Poly(h_coeffs[:, i * n : (i + 1) * n], COEFF) for i in range(qd)
+        ]
+        h_blinds = [rng() for _ in h_pieces]
+        for piece, h_blind in zip(h_pieces, h_blinds):
+            cpt = params.commit(piece, h_blind)
+            transcript.write_point(to_affine_ints(params.curve, cpt)[0])
 
     # --- x; evaluations -----------------------------------------------------
     x = transcript.squeeze_challenge()
     xn = pow(x, n, p)
 
     def dev_eval(poly: Poly, point: int) -> int:
-        return limb.to_ints(
-            spec, arith.eval_polynomial(spec, poly.values, point)
-        )[0]
+        with profiling.phase("evaluations at x (incl. host pulls)"):
+            return limb.to_ints(
+                spec, arith.eval_polynomial(spec, poly.values, point)
+            )[0]
 
     if query_instance:
         # prover.rs:521-545: write instance evals at rotated points

@@ -114,6 +114,26 @@ class EvaluationDomain:
         """Full (16, extended_len) table of extended_omega^i (quotient eval)."""
         return ntt_ops.power_table(self.spec, self.extended_omega, self.extended_len)
 
+    # six-step cross-twiddle tables (ops/ntt.py ntt_sixstep — the gather-free
+    # fast path; bit-identical to the butterfly network)
+    @functools.cached_property
+    def _wc(self):
+        return ntt_ops.cross_twiddles(self.spec, self.omega, self.k)
+
+    @functools.cached_property
+    def _wc_inv(self):
+        return ntt_ops.cross_twiddles(self.spec, self.omega_inv, self.k)
+
+    @functools.cached_property
+    def _ext_wc(self):
+        return ntt_ops.cross_twiddles(self.spec, self.extended_omega, self.extended_k)
+
+    @functools.cached_property
+    def _ext_wc_inv(self):
+        return ntt_ops.cross_twiddles(
+            self.spec, self.extended_omega_inv, self.extended_k
+        )
+
     @functools.cached_property
     def _ifft_div_mont(self):
         return limb.from_int(self.spec, self.ifft_divisor)
@@ -196,7 +216,10 @@ class EvaluationDomain:
                 sharded_intt(self.spec, a.values, self.k, self.omega, self.mesh),
                 COEFF,
             )
-        vals = ntt_ops.intt(self.spec, a.values, self._tw_inv, self.k, self._ifft_div_mont)
+        vals = ntt_ops.intt_sixstep(
+            self.spec, a.values, self._tw_inv, self._wc_inv, self.k,
+            self._ifft_div_mont,
+        )
         return Poly(vals, COEFF)
 
     def coeff_to_lagrange(self, a: Poly) -> Poly:
@@ -208,7 +231,10 @@ class EvaluationDomain:
                 sharded_ntt(self.spec, a.values, self.k, self.omega, self.mesh),
                 LAGRANGE,
             )
-        return Poly(ntt_ops.ntt(self.spec, a.values, self._tw, self.k), LAGRANGE)
+        return Poly(
+            ntt_ops.ntt_sixstep(self.spec, a.values, self._tw, self._wc, self.k),
+            LAGRANGE,
+        )
 
     def coeff_to_extended(self, a: Poly) -> Poly:
         assert a.basis == COEFF
@@ -224,7 +250,9 @@ class EvaluationDomain:
                 ),
                 EXTENDED,
             )
-        vals = ntt_ops.ntt(self.spec, vals, self._ext_tw, self.extended_k)
+        vals = ntt_ops.ntt_sixstep(
+            self.spec, vals, self._ext_tw, self._ext_wc, self.extended_k
+        )
         return Poly(vals, EXTENDED)
 
     def extended_to_coeff(self, a: Poly) -> jnp.ndarray:
@@ -237,9 +265,9 @@ class EvaluationDomain:
                 self.spec, a.values, self.extended_k, self.extended_omega, self.mesh
             )
         else:
-            vals = ntt_ops.intt(
-                self.spec, a.values, self._ext_tw_inv, self.extended_k,
-                self._ext_ifft_div_mont,
+            vals = ntt_ops.intt_sixstep(
+                self.spec, a.values, self._ext_tw_inv, self._ext_wc_inv,
+                self.extended_k, self._ext_ifft_div_mont,
             )
         vals = limb.fmul(self.spec, vals, self._zeta_outof_ext)
         return vals[:, : self.n * self.quotient_poly_degree]

@@ -29,7 +29,21 @@ jax.config.update("jax_enable_x64", False)
 if not _OPTIMIZED:
     jax.config.update("jax_disable_most_optimizations", True)
 # Persistent compilation cache: big-field kernels are compile-heavy; reuse
-# compilations across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# compilations across test runs.  HALO2_TPU_CACHE_DIR overrides (e.g. to a
+# temp dir for honest cold-cache timing).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("HALO2_TPU_CACHE_DIR", "/root/repo/.jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(items):
+    """Auto-tier: anything not marked `slow` is `fast`, so `-m fast` selects
+    the quick tier and `-m slow` the compile-heavy one (VERDICT r4 #8)."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)

@@ -16,6 +16,8 @@ from halo2_tpu.utils.rng import FieldRng
 
 from circuits import SimpleCircuit
 
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
+
 K = 4
 
 

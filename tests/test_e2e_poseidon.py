@@ -18,6 +18,8 @@ from halo2_tpu.utils.rng import FieldRng
 
 from test_poseidon import HashCircuit
 
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
+
 K = 7
 
 

@@ -21,6 +21,8 @@ from halo2_tpu.poly.polynomial import COEFF, LAGRANGE, Poly
 from halo2_tpu.transcript import Blake2bTranscript
 from halo2_tpu.utils.rng import FieldRng
 
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
+
 K = 3
 FR = PALLAS.scalar
 

@@ -6,9 +6,12 @@ is the original.  Both derive s from the same blake2b(seed) and must agree
 on every g[i], g_lagrange[i] and s_g2 (ADVICE.md round-2 medium finding).
 """
 
+import pytest
 import numpy as np
 
 from halo2_tpu.poly.kzg import ParamsKZG
+
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
 
 K = 3
 

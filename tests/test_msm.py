@@ -8,6 +8,8 @@ from halo2_tpu.curves import BN254_G1, PALLAS, from_affine_ints, host, to_affine
 from halo2_tpu.fields import limb
 from halo2_tpu.ops.msm import choose_window, msm
 
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
+
 random.seed(42)
 
 

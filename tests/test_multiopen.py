@@ -25,6 +25,8 @@ from halo2_tpu.poly.multiopen_shplonk import (
 from halo2_tpu.poly.polynomial import COEFF, Poly
 from halo2_tpu.transcript import TRANSCRIPTS
 
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
+
 K = 3
 SPEC = BN254_G1.scalar
 

@@ -11,6 +11,8 @@ from halo2_tpu.ops import arith, ntt
 from halo2_tpu.poly import EvaluationDomain, Poly, Rotation
 from halo2_tpu.poly.polynomial import COEFF, LAGRANGE
 
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
+
 random.seed(7)
 
 

@@ -7,6 +7,7 @@ optimizations so an optimization-dependent miscompile of the limb graphs
 cannot ship silently (ADVICE.md round-2 finding).
 """
 
+import pytest
 import os
 import subprocess
 import sys
@@ -19,6 +20,8 @@ from halo2_tpu.curves import BN254_G1, from_affine_ints, host, to_affine_ints
 from halo2_tpu.fields import limb
 from halo2_tpu.fields.spec import BN254_FR
 from halo2_tpu.ops.msm import msm
+
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
 
 # field mul golden
 a, b = random.randrange(BN254_FR.p), random.randrange(BN254_FR.p)

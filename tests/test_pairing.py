@@ -1,9 +1,13 @@
 """BN254 optimal-ate pairing: bilinearity, degeneracy, KZG-check equivalence."""
 
+import pytest
+
 from halo2_tpu.curves import host
 from halo2_tpu.curves.bn254_g2 import G2_GENERATOR, g2_mul, g2_on_curve
 from halo2_tpu.curves.bn254_pairing import Fq12, pairing, pairing_check
 from halo2_tpu.curves.spec import BN254_G1
+
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
 
 G1 = (1, 2)
 

@@ -1,8 +1,12 @@
 """Pallas Montgomery-multiply kernel vs the pure-jnp path (interpret mode)."""
 
+import pytest
+
 from halo2_tpu.fields import limb
 from halo2_tpu.fields.pallas_kernels import TILE, mont_mul_pallas
 from halo2_tpu.fields.spec import BN254_FR, PASTA_FP
+
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
 
 
 def _check(spec, n):

@@ -18,6 +18,8 @@ from halo2_tpu.ops.msm import msm
 from halo2_tpu.ops.scalar_mul import batch_scalar_mul
 from halo2_tpu.parallel import default_mesh, sharded_intt, sharded_msm, sharded_ntt
 
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
+
 
 @pytest.fixture(scope="module")
 def mesh():

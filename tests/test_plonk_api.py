@@ -28,6 +28,8 @@ from halo2_tpu.utils.rng import FieldRng
 
 from circuits import StandardPlonkCircuit
 
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
+
 K = 5
 
 

@@ -13,11 +13,14 @@ are seeded ``random`` generators with many iterations — same coverage idea,
 reproducible failures.
 """
 
+import pytest
 import random
 
 from halo2_tpu.circuit.value import Assigned, to_assigned
 from halo2_tpu.fields import BN254_FR
 from halo2_tpu.poly.multiopen_shplonk import construct_intermediate_sets
+
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
 
 P = BN254_FR.p
 

@@ -126,6 +126,8 @@ def test_spread_table_chip_rejects_bad_word():
 from halo2_tpu.circuit import Circuit
 from halo2_tpu.gadgets.sha256 import Sha256, Table16Chip, pad_message
 
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
+
 
 class Sha256Circuit(Circuit):
     """Hash the padded blocks; digest half-words exposed as the instance."""

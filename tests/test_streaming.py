@@ -22,6 +22,8 @@ from halo2_tpu.poly.multiopen_gwc import gwc_create_proof, gwc_verify_proof
 from halo2_tpu.transcript import Blake2bTranscript
 from halo2_tpu.utils.rng import FieldRng
 
+pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
+
 SPEC = BN254_G1.scalar
 
 

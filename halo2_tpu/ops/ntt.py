@@ -170,6 +170,13 @@ def _stockham_axis1(spec: FieldSpec, x, tw, k: int):
         wb = jnp.broadcast_to(w[:, :, None, None], a.shape)
         v = limb.fmul(spec, limb.fsub(spec, a, c), wb)
         x = jnp.concatenate([u, v], axis=2)  # new output bit on the slow side
+        # WORKAROUND: the XLA:TPU pipeline miscompiles the fused
+        # slice-of-concat pattern across stages when the trailing batch dim
+        # is >= 128 lanes (eager execution and CPU are correct; a barrier
+        # after each stage's concat restores correctness — empirically
+        # isolated, see round-5 build notes).  Stages are separated by the
+        # Pallas multiply anyway, so the fusion cost is negligible.
+        x = jax.lax.optimization_barrier(x)
     return x.reshape(NLIMBS, m, b)
 
 

@@ -36,6 +36,24 @@ def test_ntt_matches_naive(spec):
     assert got == naive_dft(spec, vals, omega)
 
 
+@pytest.mark.parametrize("k", [2, 5, 9, 10, 13])
+def test_sixstep_matches_butterfly(k):
+    """ntt_sixstep (the gather-free fast path) must be bit-identical to the
+    butterfly network at even/odd k; k=13 exercises the >=128-lane batch
+    shape whose fused slice-of-concat pattern miscompiled on the TPU backend
+    before the per-stage optimization barrier (ops/ntt.py)."""
+    spec = BN254_FR
+    n = 1 << k
+    omega = pow(spec.root_of_unity, 1 << (spec.s - k), spec.p)
+    vals = [random.randrange(spec.p) for _ in range(n)]
+    a = limb.from_ints(spec, vals)
+    tw = ntt.power_table(spec, omega, n // 2)
+    wc = ntt.cross_twiddles(spec, omega, k)
+    ref = limb.to_ints(spec, ntt.ntt(spec, a, tw, k))
+    got = limb.to_ints(spec, ntt.ntt_sixstep(spec, a, tw, wc, k))
+    assert got == ref
+
+
 def test_power_table():
     spec = BN254_FR
     t = ntt.power_table(spec, 7, 11)

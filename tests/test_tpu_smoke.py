@@ -80,6 +80,21 @@ SCRIPT = textwrap.dedent(
         horner = (horner * x + c) % fr.p
     assert horner == vals_int[5], "k=14 iNTT coefficients wrong"
     print("NTT-OK")
+
+    # --- six-step vs butterfly equality ON THE DEVICE at k=14: the fused
+    # slice-of-concat stage pattern miscompiled on this backend until the
+    # per-stage barrier (ops/ntt.py _stockham_axis1); CPU tests cannot see it
+    from halo2_tpu.ops import ntt as ntt_ops
+    import numpy as np
+
+    omega14 = domain.omega
+    tw14 = ntt_ops.power_table(fr, omega14, n // 2)
+    wc14 = ntt_ops.cross_twiddles(fr, omega14, K)
+    a14 = limb.from_ints(fr, vals_int)
+    ref14 = np.asarray(ntt_ops.ntt(fr, a14, tw14, K))
+    got14 = np.asarray(ntt_ops.ntt_sixstep(fr, a14, tw14, wc14, K))
+    assert (ref14 == got14).all(), "six-step != butterfly on device at k=14"
+    print("SIXSTEP-OK")
     """
 )
 
@@ -95,3 +110,4 @@ def test_tpu_msm_ntt_k14_golden():
     )
     assert run.returncode == 0, run.stdout[-2000:] + run.stderr[-2000:]
     assert "MSM-OK" in run.stdout and "NTT-OK" in run.stdout
+    assert "SIXSTEP-OK" in run.stdout

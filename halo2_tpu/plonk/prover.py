@@ -575,33 +575,36 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
     x = transcript.squeeze_challenge()
     xn = pow(x, n, p)
 
-    def dev_eval(poly: Poly, point: int) -> int:
-        with profiling.phase("evaluations at x (incl. host pulls)"):
-            return limb.to_ints(
-                spec, arith.eval_polynomial(spec, poly.values, point)
-            )[0]
+    # All opening evaluations are collected first (every point derives from x
+    # alone), computed in ONE batched device dispatch + ONE host pull
+    # (ops/arith.eval_polynomials_batched), then written to the transcript in
+    # collection order — byte-identical to the reference's eval-by-eval order
+    # (prover.rs:521-575), ~19 tunnel round trips collapsed into one.
+    eval_vals: List[jnp.ndarray] = []
+    eval_pts: List[int] = []
+
+    def queue_eval(poly: Poly, point: int):
+        eval_vals.append(poly.values)
+        eval_pts.append(point)
 
     if query_instance:
-        # prover.rs:521-545: write instance evals at rotated points
+        # prover.rs:521-545: instance evals at rotated points
         for c_idx in range(num_circuits):
             for column, at in cs.instance_queries:
-                ev = dev_eval(
+                queue_eval(
                     instance_polys[c_idx][column.index], domain.rotate_omega(x, at)
                 )
-                transcript.write_scalar(ev)
 
     for c_idx in range(num_circuits):
         for column, at in cs.advice_queries:
-            ev = dev_eval(
+            queue_eval(
                 advice_polys[c_idx][column.index], domain.rotate_omega(x, at)
             )
-            transcript.write_scalar(ev)
 
     for column, at in cs.fixed_queries:
-        ev = dev_eval(pk.fixed_polys[column.index], domain.rotate_omega(x, at))
-        transcript.write_scalar(ev)
+        queue_eval(pk.fixed_polys[column.index], domain.rotate_omega(x, at))
 
-    # vanishing.evaluate: fold h pieces by xn, write random_eval
+    # vanishing.evaluate: fold h pieces by xn; random_eval queued at x
     h_folded = None
     for piece in reversed(h_pieces):
         if h_folded is None:
@@ -615,31 +618,38 @@ def create_proof(params, pk: ProvingKey, circuits, instances, rng, transcript, m
     h_blind_final = 0
     for hb in reversed(h_blinds):
         h_blind_final = (h_blind_final * xn + hb) % p
-    transcript.write_scalar(dev_eval(random_poly, x))
+    queue_eval(random_poly, x)
 
     # pk.permutation.evaluate: sigma evals
     for poly in pk.permutation.polys:
-        transcript.write_scalar(dev_eval(poly, x))
+        queue_eval(poly, x)
 
     # permutations evaluate
     x_next = domain.rotate_omega(x, Rotation.next())
     x_last = domain.rotate_omega(x, Rotation(-(bf + 1)))
     for committed in permutations:
         for set_idx, pset in enumerate(committed.sets):
-            transcript.write_scalar(dev_eval(pset.product_poly, x))
-            transcript.write_scalar(dev_eval(pset.product_poly, x_next))
+            queue_eval(pset.product_poly, x)
+            queue_eval(pset.product_poly, x_next)
             if set_idx < len(committed.sets) - 1:
-                transcript.write_scalar(dev_eval(pset.product_poly, x_last))
+                queue_eval(pset.product_poly, x_last)
 
     # lookups evaluate (x, x_next, x_inv order per lookup/prover.rs:309-337)
     x_inv = domain.rotate_omega(x, Rotation.prev())
     for per_circ in lookups_committed:
         for lk in per_circ:
-            transcript.write_scalar(dev_eval(lk.product_poly, x))
-            transcript.write_scalar(dev_eval(lk.product_poly, x_next))
-            transcript.write_scalar(dev_eval(lk.permuted_input_poly, x))
-            transcript.write_scalar(dev_eval(lk.permuted_input_poly, x_inv))
-            transcript.write_scalar(dev_eval(lk.permuted_table_poly, x))
+            queue_eval(lk.product_poly, x)
+            queue_eval(lk.product_poly, x_next)
+            queue_eval(lk.permuted_input_poly, x)
+            queue_eval(lk.permuted_input_poly, x_inv)
+            queue_eval(lk.permuted_table_poly, x)
+
+    with profiling.phase("evaluations at x (one batched dispatch)"):
+        stacked = jnp.stack(eval_vals, axis=1)  # (16, m, n)
+        pts_mont = limb.from_ints(spec, eval_pts)  # (16, m)
+        out = arith.eval_polynomials_batched(spec, stacked, pts_mont)
+        for v in limb.to_ints(spec, out):
+            transcript.write_scalar(v)
 
     # --- assemble multiopen queries (prover.rs:599-645) ----------------------
     queries: List[ProverQuery] = []

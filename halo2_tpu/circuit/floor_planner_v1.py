@@ -178,15 +178,10 @@ class _V1Region:
         self.plan.cs.enable_selector(selector, self._abs(offset))
 
     def assign_advice(self, column, offset, to):
-        holder = {}
-
-        def wrapped():
-            v = to()
-            holder["v"] = v
-            return v
-
-        self.plan.cs.assign_advice(column, self._abs(offset), wrapped)
-        return Cell(self.region_index, offset, column), holder.get("v", Value.unknown())
+        v = self.plan.cs.assign_advice(column, self._abs(offset), to)
+        return Cell(self.region_index, offset, column), (
+            Value.unknown() if v is None else v
+        )
 
     def assign_advice_from_constant(self, column, offset, constant):
         cell, value = self.assign_advice(column, offset, lambda: Value.known(constant))
@@ -205,15 +200,10 @@ class _V1Region:
         return self.plan.cs.query_instance(instance, row)
 
     def assign_fixed(self, column, offset, to):
-        holder = {}
-
-        def wrapped():
-            v = to()
-            holder["v"] = v
-            return v
-
-        self.plan.cs.assign_fixed(column, self._abs(offset), wrapped)
-        return Cell(self.region_index, offset, column), holder.get("v", Value.unknown())
+        v = self.plan.cs.assign_fixed(column, self._abs(offset), to)
+        return Cell(self.region_index, offset, column), (
+            Value.unknown() if v is None else v
+        )
 
     def constrain_constant(self, cell, constant):
         self.plan.constants.append((constant, cell))

@@ -53,6 +53,9 @@ class Assignment:
         raise NotImplementedError
 
     def assign_advice(self, column: Column, row: int, to: Callable[[], Value]):
+        """Backends RETURN the evaluated Value when they ran ``to`` (or None
+        when they skipped it, e.g. phase filtering / keygen) so region layers
+        can hand the value to AssignedCell without wrapper closures."""
         raise NotImplementedError
 
     def assign_fixed(self, column: Column, row: int, to: Callable[[], Value]):
@@ -200,17 +203,10 @@ class SingleChipLayouterRegion(RegionLayouterBase):
         self.layouter.cs.enable_selector(selector, self._abs(offset))
 
     def assign_advice(self, column, offset, to):
-        value_holder = {}
-
-        def wrapped():
-            v = to()
-            value_holder["v"] = v
-            return v
-
-        self.layouter.cs.assign_advice(column, self._abs(offset), wrapped)
+        v = self.layouter.cs.assign_advice(column, self._abs(offset), to)
         return (
             Cell(self.region_index, offset, column),
-            value_holder.get("v", Value.unknown()),
+            Value.unknown() if v is None else v,
         )
 
     def assign_advice_from_constant(self, column, offset, constant):
@@ -231,17 +227,10 @@ class SingleChipLayouterRegion(RegionLayouterBase):
         return self.layouter.cs.query_instance(instance, row)
 
     def assign_fixed(self, column, offset, to):
-        value_holder = {}
-
-        def wrapped():
-            v = to()
-            value_holder["v"] = v
-            return v
-
-        self.layouter.cs.assign_fixed(column, self._abs(offset), wrapped)
+        v = self.layouter.cs.assign_fixed(column, self._abs(offset), to)
         return (
             Cell(self.region_index, offset, column),
-            value_holder.get("v", Value.unknown()),
+            Value.unknown() if v is None else v,
         )
 
     def constrain_constant(self, cell, constant):
@@ -268,21 +257,14 @@ class SimpleTableLayouter:
             raise SynthesisError("table column already used")
         entry = self.default_and_assigned.setdefault(column, [None, []])
 
-        value_holder = {}
-
-        def wrapped():
-            v = to()
-            value_holder["v"] = v
-            return v
-
-        self.cs.assign_fixed(column.inner, offset, wrapped)
+        v = self.cs.assign_fixed(column.inner, offset, to)
         if offset == 0:
             if entry[0] is None:
                 # The default is SET even when the backend never ran the
                 # closure (prover WitnessCollection ignores fixed
                 # assignments): mirror single_pass.rs DefaultTableValue =
                 # Some(Value::unknown()) in that case.
-                entry[0] = value_holder.get("v", Value.unknown())
+                entry[0] = Value.unknown() if v is None else v
             else:
                 raise SynthesisError("table column default already set")
         flags = entry[1]

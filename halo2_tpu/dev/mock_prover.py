@@ -190,6 +190,7 @@ class MockProver(Assignment):
         v = to()
         if not v.is_none():
             self.advice[column.index][row] = to_assigned(v.value()).evaluate(self.spec.p)
+        return v
 
     def assign_fixed(self, column, row, to):
         if row >= self.usable_rows:
@@ -200,6 +201,7 @@ class MockProver(Assignment):
         v = to()
         if not v.is_none():
             self.fixed[column.index][row] = to_assigned(v.value()).evaluate(self.spec.p)
+        return v
 
     def copy(self, left_column, left_row, right_column, right_row):
         if left_row >= self.usable_rows or right_row >= self.usable_rows:

@@ -45,6 +45,14 @@ class Column:
     index: int
     phase: int = 0  # only meaningful for advice
 
+    def __post_init__(self):
+        # columns are hashed millions of times during synthesis (region
+        # bookkeeping dicts); cache the tuple hash once
+        object.__setattr__(self, "_cached_hash", hash((self.kind, self.index, self.phase)))
+
+    def __hash__(self):
+        return self._cached_hash
+
     def sort_key(self):
         return (_TYPE_ORDER[self.kind], self.phase if self.kind == ADVICE else 0, self.index)
 

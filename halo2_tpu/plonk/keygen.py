@@ -252,13 +252,14 @@ class KeygenAssembly(Assignment):
         return Value.unknown()
 
     def assign_advice(self, column, row, to):
-        pass  # only fixed matters during keygen
+        return None  # only fixed matters during keygen
 
     def assign_fixed(self, column, row, to):
         self._check_row(row)
         v = to()
         if not v.is_none():
             self.fixed[column.index][row] = to_assigned(v.value())
+        return v
 
     def copy(self, left_column, left_row, right_column, right_row):
         self._check_row(left_row)

@@ -57,12 +57,13 @@ class WitnessCollection(Assignment):
     def assign_advice(self, column, row, to):
         # ignore assignments for columns in a different phase
         if self.cs.advice_column_phase[column.index] != self.current_phase:
-            return
+            return None
         if row >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
         v = to()
         if not v.is_none():
             self.advice[column.index][row] = to_assigned(v.value())
+        return v
 
     def assign_fixed(self, column, row, to):
         pass

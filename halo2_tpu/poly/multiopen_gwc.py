@@ -40,6 +40,10 @@ def gwc_create_proof(params, rng, transcript, queries):
     v = transcript.squeeze_challenge()
     commitment_data = construct_intermediate_sets(queries)
 
+    # All W_i writes happen after the single v squeeze, so the per-point
+    # witness polynomials can be computed first and committed in ONE batched
+    # MSM dispatch + one host pull (transcript byte order unchanged).
+    witnesses = []
     for z, qs in commitment_data:
         poly_batch = None
         power = 1
@@ -56,9 +60,18 @@ def gwc_create_proof(params, rng, transcript, queries):
         # witness poly = (poly_batch - eval) / (X - z); the closed-form kate
         # division never reads the constant term, so the eval subtraction is a
         # no-op here (ops/arith.py kate_division).
-        witness = arith.kate_division(spec, poly_batch, z)
-        w = params.commit(Poly(witness, COEFF))
-        transcript.write_point(to_affine_ints(params.curve, w)[0])
+        witnesses.append(arith.kate_division(spec, poly_batch, z))
+
+    if len(witnesses) > 1 and getattr(params, "mesh", None) is None:
+        from ..ops.msm import msm_many
+
+        pts = msm_many(params.curve, jnp.stack(witnesses, axis=0), params.g)
+        for aff in to_affine_ints(params.curve, pts):
+            transcript.write_point(aff)
+    else:
+        for witness in witnesses:
+            w = params.commit(Poly(witness, COEFF))
+            transcript.write_point(to_affine_ints(params.curve, w)[0])
 
 
 # ---------------------------------------------------------------------------

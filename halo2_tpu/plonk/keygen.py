@@ -283,17 +283,25 @@ def batch_invert_assigned(
         return []
     p = spec.p
     nums, dens = [], []
+    all_trivial = True
     for col in columns:
         cn = [0] * n
         cd = [1] * n
         for row, a in col.items():
             cn[row] = a.numerator % p
-            cd[row] = a.denominator % p
+            if a.denominator != 1:
+                all_trivial = False
+                cd[row] = a.denominator % p
         nums.extend(cn)
         dens.extend(cd)
     num_arr = limb.from_canonical_ints(spec, nums)
-    den_arr = limb.from_canonical_ints(spec, dens)
-    vals = limb.fmul(spec, num_arr, limb.finv(spec, den_arr))
+    if all_trivial:
+        # the overwhelmingly common case (no deferred-division Rational
+        # cells): skip the per-element Fermat inversion entirely
+        vals = num_arr
+    else:
+        den_arr = limb.from_canonical_ints(spec, dens)
+        vals = limb.fmul(spec, num_arr, limb.finv(spec, den_arr))
     return [
         Poly(vals[:, i * n : (i + 1) * n], LAGRANGE) for i in range(len(columns))
     ]

@@ -160,10 +160,12 @@ def _run_base_field(alpha):
     return MockProver.run(PASTA_FP, 11, circ, []).verify()
 
 
+@pytest.mark.slow
 def test_base_field_elem_small():
     assert _run_base_field(0x123456789ABCDEF) == []
 
 
+@pytest.mark.slow
 def test_base_field_elem_msb_set():
     # alpha >= 2^254 (the canonicity-critical range: alpha in [2^254, p))
     p = PASTA_FP.p
@@ -210,6 +212,7 @@ class VarBaseFullRangeCircuit(Circuit):
             assert got == self.expected, (got, self.expected)
 
 
+@pytest.mark.slow
 def test_var_base_mul_full_range():
     # alpha >= 2^254: impossible with the 254-bit mul (VERDICT r3 #4/#6)
     p = PASTA_FP.p

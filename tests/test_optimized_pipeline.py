@@ -12,6 +12,8 @@ import os
 import subprocess
 import sys
 
+pytestmark = pytest.mark.slow  # compile-heavy (full-optimization subprocess)
+
 _CHECK = r"""
 import jax, random
 jax.config.update("jax_platforms", "cpu")
@@ -20,8 +22,6 @@ from halo2_tpu.curves import BN254_G1, from_affine_ints, host, to_affine_ints
 from halo2_tpu.fields import limb
 from halo2_tpu.fields.spec import BN254_FR
 from halo2_tpu.ops.msm import msm
-
-pytestmark = pytest.mark.slow  # compile-heavy (full pipelines / large shapes)
 
 # field mul golden
 a, b = random.randrange(BN254_FR.p), random.randrange(BN254_FR.p)

@@ -243,6 +243,7 @@ class CommitCircuit(Circuit):
             assert got == self.expected, (got, self.expected)
 
 
+@pytest.mark.slow
 def test_commit_domain_circuit():
     nbits = 2 * K
     val = 0b1011001110_0100110101

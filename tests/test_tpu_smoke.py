@@ -26,9 +26,10 @@ def _axon_available() -> bool:
     return probe.returncode == 0 and probe.stdout.strip() not in ("", "cpu")
 
 
-pytestmark = pytest.mark.skipif(
-    not _axon_available(), reason="no TPU/axon device available"
-)
+pytestmark = [
+    pytest.mark.skipif(not _axon_available(), reason="no TPU/axon device available"),
+    pytest.mark.slow,  # real-device compiles via the tunnel
+]
 
 
 SCRIPT = textwrap.dedent(
